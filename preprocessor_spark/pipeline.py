@@ -1,0 +1,92 @@
+"""Stage protocol + pipeline runner.
+
+The reference's extension surface is whole-table plugins (``process(df) -> df``,
+reference: app/plugins/plugin_normalizer.py:12-38) executed sequentially with
+per-plugin timing and failure isolation
+(app/core/feature_engineering_plugin_base.py:286-376). Here a stage is a
+``DataFrame -> DataFrame`` transformation object; fitted stages expose
+``fit(df) -> StageParams`` and ``transform(df, params) -> DataFrame``.
+
+Because Spark is lazy, "per-stage timing" of transformations alone is
+meaningless — the runner therefore records plan-build time and, optionally,
+a materialization metric per stage when ``eager=True`` (test/debug only;
+production pipelines stay one fused lazy DAG so Catalyst pipelines all
+stages into as few shuffles as possible).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame
+
+from preprocessor_spark.params import StageParams
+
+
+@runtime_checkable
+class Stage(Protocol):
+    name: str
+
+    def transform(self, df: DataFrame) -> DataFrame: ...
+
+
+@runtime_checkable
+class FittedStage(Protocol):
+    name: str
+
+    def fit(self, df: DataFrame) -> StageParams: ...
+
+    def transform(self, df: DataFrame, params: StageParams) -> DataFrame: ...
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    plan_seconds: float
+    rows: int | None = None
+    exec_seconds: float | None = None
+    error: str | None = None
+
+
+@dataclass
+class Pipeline:
+    """Sequential fold of stages over one DataFrame.
+
+    ``isolate_failures`` mirrors the reference's continue-on-error pipeline
+    contract (app/core/feature_engineering_plugin_base.py:345-356): a failing
+    stage is skipped (its input passes through) and recorded in metrics.
+    """
+
+    stages: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+    isolate_failures: bool = False
+    metrics: list[StageMetric] = field(default_factory=list)
+
+    def add(self, stage) -> "Pipeline":
+        self.stages.append(stage)
+        return self
+
+    def run(self, df: DataFrame, eager: bool = False) -> DataFrame:
+        out = df
+        for st in self.stages:
+            name = getattr(st, "name", getattr(st, "__name__", type(st).__name__))
+            t0 = time.perf_counter()
+            try:
+                nxt = st.transform(out) if hasattr(st, "transform") else st(out)
+                m = StageMetric(stage=name, plan_seconds=time.perf_counter() - t0)
+                if eager:
+                    t1 = time.perf_counter()
+                    m.rows = nxt.count()
+                    m.exec_seconds = time.perf_counter() - t1
+                out = nxt
+            except Exception as e:  # noqa: BLE001
+                if not self.isolate_failures:
+                    raise
+                m = StageMetric(
+                    stage=name,
+                    plan_seconds=time.perf_counter() - t0,
+                    error=f"{type(e).__name__}: {e}",
+                )
+            self.metrics.append(m)
+        return out

@@ -1,0 +1,173 @@
+"""Continuous-aggregate rollup / downsample / retention tree.
+
+The retention tree is literally a rollup tree (SURVEY §2.4): tier k is a
+``groupBy(series, window(t, tier_k))`` RE-AGGREGATION of tier k−1, never of
+the raw facts — so a 1d tier aggregates the 1h tier (24 rows/bucket), not
+10^12 raw rows. To make every statistic re-aggregable, each tier stores the
+ALGEBRAIC form (count, sum, sum_sq, min, max); mean/std are derived views.
+
+Aggregate set mirrors the reference's per-column statistics (SURVEY §2.4
+A1-A3: mean/std/min/max — app/plugins/plugin_normalizer.py:150-157,
+app/core/normalization_handler.py:155-174) turned into keyed windowed
+aggregates per the north rule.
+
+Scale notes:
+  * tier-0 aggregate is one partial+final hash agg over the facts (map-side
+    combine collapses each input partition to ≤ |series × buckets| rows
+    before the shuffle);
+  * tier k→k+1 re-aggs shuffle only tier-k rows (tiny);
+  * a skewed source (s0 ≈ 30% of rows) is handled by two-phase salted
+    aggregation: ``salted_aggregate`` pre-aggregates on (series, bucket,
+    salt) then folds partials — same shape as Spark's own partial/final agg
+    but with an explicit intermediate key for pathological single-key skew;
+  * buckets use ``F.window(ts, d)`` (tumbling); bucket_start is the tier's
+    time key, so re-aggregation windows nest exactly (5m ⊂ 1h ⊂ 1d).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALGEBRAIC = ("n_points", "sum_v", "sum_sq", "min_v", "max_v")
+
+
+@dataclass(frozen=True)
+class TierSpec:
+    name: str  # e.g. "5m", "1h", "1d"
+    duration: str  # Spark window duration, e.g. "5 minutes"
+
+
+DEFAULT_TIERS = [
+    TierSpec("5m", "5 minutes"),
+    TierSpec("1h", "1 hour"),
+    TierSpec("1d", "1 day"),
+]
+
+
+def _derived(df: DataFrame) -> DataFrame:
+    """Attach derived mean/std views (sample std, ddof=1 — matching the
+    reference's pandas default, app/plugins/plugin_normalizer.py:150-152)."""
+    n, s, ss = F.col("n_points"), F.col("sum_v"), F.col("sum_sq")
+    var = (ss - s * s / n) / (n - 1)
+    return df.withColumn("mean_v", s / n).withColumn(
+        "std_v",
+        F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None)),
+    )
+
+
+class RollupTree:
+    def __init__(
+        self,
+        time_col: str = "ts",
+        series_cols: list[str] | None = None,
+        value_col: str = "n_tok",
+        tiers: list[TierSpec] | None = None,
+    ):
+        self.time_col = time_col
+        self.series_cols = series_cols if series_cols is not None else ["source"]
+        self.value_col = value_col
+        self.tiers = tiers or DEFAULT_TIERS
+
+    # -- tier 0: facts → finest tier ------------------------------------
+    def base_aggregate(self, df: DataFrame, tier: TierSpec) -> DataFrame:
+        v = F.col(self.value_col).cast("double")
+        return (
+            df.groupBy(
+                *self.series_cols,
+                F.window(self.time_col, tier.duration)["start"].alias("bucket_start"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.sum(v).alias("sum_v"),
+                F.sum(v * v).alias("sum_sq"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+            )
+        )
+
+    # -- tier k → tier k+1 ----------------------------------------------
+    def reaggregate(self, tier_df: DataFrame, to_tier: TierSpec) -> DataFrame:
+        return (
+            tier_df.groupBy(
+                *self.series_cols,
+                F.window("bucket_start", to_tier.duration)["start"].alias(
+                    "bucket_start"
+                ),
+            )
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.sum("sum_v").alias("sum_v"),
+                F.sum("sum_sq").alias("sum_sq"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+
+    def build_all(self, df: DataFrame, derived: bool = True) -> dict[str, DataFrame]:
+        """Materialize the full tree lazily: tier[0] from facts, tier[k] from
+        tier[k−1]."""
+        out: dict[str, DataFrame] = {}
+        cur = self.base_aggregate(df, self.tiers[0])
+        out[self.tiers[0].name] = _derived(cur) if derived else cur
+        for t in self.tiers[1:]:
+            cur = self.reaggregate(cur, t)
+            out[t.name] = _derived(cur) if derived else cur
+        return out
+
+    # -- gap fill at a tier ----------------------------------------------
+    def gap_fill(self, tier_df: DataFrame, tier: TierSpec) -> DataFrame:
+        """Dense per-series bucket spine LEFT JOIN the tier (SURVEY §2.3 J1):
+        missing buckets appear with n_points=0 and null stats. The spine is
+        built from a 1-row-per-series bounds aggregate → broadcast join."""
+        from preprocessor_spark.operators.cleaner import dense_spine
+
+        minutes = _duration_minutes(tier.duration)
+        spine = dense_spine(tier_df, "bucket_start", minutes, self.series_cols)
+        joined = spine.join(
+            tier_df, on=[*self.series_cols, "bucket_start"], how="left"
+        )
+        return joined.withColumn("n_points", F.coalesce("n_points", F.lit(0)))
+
+    def salted_aggregate(
+        self, df: DataFrame, tier: TierSpec, salt_buckets: int = 16
+    ) -> DataFrame:
+        """Two-phase skew-safe tier-0 aggregate: partial agg on
+        (series, bucket, salt=xxhash64(doc_id)%B) → final fold without salt.
+        Identical result to base_aggregate; bounds any single (series,
+        bucket) hot key to B parallel partials (north rule skew handling)."""
+        v = F.col(self.value_col).cast("double")
+        salt = (F.abs(F.xxhash64(*df.columns)) % salt_buckets).alias("__salt")
+        partial = (
+            df.groupBy(
+                *self.series_cols,
+                F.window(self.time_col, tier.duration)["start"].alias("bucket_start"),
+                salt,
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.sum(v).alias("sum_v"),
+                F.sum(v * v).alias("sum_sq"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+            )
+        )
+        return (
+            partial.groupBy(*self.series_cols, "bucket_start")
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.sum("sum_v").alias("sum_v"),
+                F.sum("sum_sq").alias("sum_sq"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+
+
+def _duration_minutes(duration: str) -> int:
+    qty, unit = duration.split()
+    unit = unit.rstrip("s")
+    factor = {"minute": 1, "hour": 60, "day": 1440, "week": 10080}[unit]
+    return int(qty) * factor

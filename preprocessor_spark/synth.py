@@ -1,0 +1,93 @@
+"""Deterministic synthetic corpus of pre-tokenized training sequences.
+
+Produces the engine's authoritative input table (BASELINE.json ``input_hint``):
+
+    (doc_id: string, tokens: array<int32>, n_tok: int32, source: string, ts: timestamp)
+
+``ts`` is the implicit event time (FIXTURES.md F0: doc-rank-derived, fixed
+period per source, with deliberate gaps for gap-fill tests).
+
+Everything is derived from ``spark.range(n)`` ids through pure column
+expressions (xxhash64-based), so the corpus is:
+  * bit-identical regardless of partition count or executor count
+    (required for the N-vs-4N scaling equivalence evidence), and
+  * generated distributed — no driver-side materialization, so the same
+    generator produces the 10^12-sequence corpus on a real cluster.
+
+Source skew: source ``s0`` receives ~30% of rows (FIXTURES.md F0) to
+exercise salted repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH_START = "2020-01-01 00:00:00"
+PERIOD_MINUTES = 1
+N_SOURCES = 8
+VOCAB_SIZE = 50_000
+GAP_MODULUS = 37  # ids where xxhash64(id,'gap') % 37 == 0 are dropped → time gaps
+
+
+def token_sequences(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    with_gaps: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the deterministic token_sequences table with ``n_rows`` candidate
+    rows (slightly fewer after gap-drop when ``with_gaps``).
+
+    Token values and lengths are stable functions of (seed, doc index):
+      * source: skewed categorical — hash bucket 0..9, buckets >=7 fold to s0.
+      * n_tok:  per-source length regime (distinct mean per source) in
+        [4, 4 + 16*(src+1)] — deterministic, no RNG state.
+      * tokens: element j = xxhash64(seed, id, j) mod VOCAB_SIZE, as int32.
+      * ts:     EPOCH + id * PERIOD_MINUTES minutes (gaps punched by hash).
+    """
+    df = spark.range(n_rows).withColumnRenamed("id", "_i")
+    h = lambda *cols: F.abs(F.xxhash64(F.lit(seed), *cols))  # noqa: E731
+
+    src_bucket = h(F.col("_i"), F.lit("src")) % 10
+    src_idx = F.when(src_bucket >= 7, F.lit(0)).otherwise(
+        (src_bucket % N_SOURCES).cast("int")
+    )
+    df = df.withColumn("source", F.concat(F.lit("s"), src_idx.cast("string")))
+    df = df.withColumn(
+        "n_tok",
+        (
+            4
+            + (h(F.col("_i"), F.lit("len")) % (16 * (src_idx.cast("long") + 1)))
+        ).cast("int"),
+    )
+    df = df.withColumn(
+        "tokens",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok")),
+            lambda j: (h(F.col("_i"), j) % VOCAB_SIZE).cast("int"),
+        ),
+    )
+    df = df.withColumn(
+        "ts",
+        F.to_timestamp(F.lit(EPOCH_START))
+        + F.make_interval(mins=(F.col("_i") * PERIOD_MINUTES).cast("int")),
+    )
+    df = df.withColumn("doc_id", F.format_string("doc-%012d", F.col("_i")))
+    if with_gaps:
+        df = df.filter(h(F.col("_i"), F.lit("gap")) % GAP_MODULUS != 0)
+    return df.select("doc_id", "tokens", "n_tok", "source", "ts")
+
+
+def write_corpus(spark: SparkSession, path: str, n_rows: int, **kw) -> None:
+    """Materialize the corpus as a source-partitioned Parquet table.
+
+    On a cluster this is the Iceberg table
+    ``catalog.db.token_sequences PARTITIONED BY (source, days(ts))``; the
+    sandbox has no Iceberg runtime jar, so we use the equivalent
+    Hive-layout Parquet (partition pruning behaves identically).
+    """
+    token_sequences(spark, n_rows, **kw).write.mode("overwrite").partitionBy(
+        "source"
+    ).parquet(path)

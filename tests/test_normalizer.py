@@ -1,0 +1,107 @@
+"""Normalizer oracles — mirrors reference tests/test_normalization_handler.py:
+train-only fit, zero-variance handling, denormalization round-trip, and the
+1e-10 numpy-oracle tolerance (tests/test_preprocessor_core_integration.py:171-172).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from preprocessor_spark.operators.normalizer import Normalizer
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    n = 500
+    return pd.DataFrame(
+        {
+            "a": RNG.normal(10.0, 3.0, n),
+            "b": RNG.uniform(-5.0, 5.0, n),
+            "const": np.full(n, 7.0),  # zero-variance feature
+            "label": [f"r{i}" for i in range(n)],  # non-numeric passthrough
+        }
+    )
+
+
+def test_zscore_matches_pandas_oracle(spark, pdf):
+    df = spark.createDataFrame(pdf)
+    norm = Normalizer(method="zscore")
+    params = norm.fit(df)
+    out = norm.transform(df, params).toPandas().sort_values("label")
+    ref = pdf.sort_values("label")
+    for c in ("a", "b"):
+        expected = (ref[c] - ref[c].mean()) / ref[c].std(ddof=1)
+        np.testing.assert_allclose(out[c].values, expected.values, atol=1e-10)
+
+
+def test_zero_variance_std_is_one(spark, pdf):
+    # reference app/core/normalization_handler.py:160-165: constant → std 1.0
+    df = spark.createDataFrame(pdf)
+    norm = Normalizer(method="zscore")
+    params = norm.fit(df)
+    assert params.params["per_column"]["const"]["std"] == 1.0
+    out = norm.transform(df, params).toPandas()
+    np.testing.assert_allclose(out["const"].values, 0.0, atol=1e-12)
+
+
+def test_minmax_default_plugin_epsilon(spark, pdf):
+    # reference app/plugins/plugin_default.py:174-176: (x-min)/(max-min+1e-8)
+    df = spark.createDataFrame(pdf)
+    norm = Normalizer(method="minmax", feature_range=(0.0, 1.0), epsilon=1e-8)
+    params = norm.fit(df)
+    out = norm.transform(df, params).toPandas().sort_values("label")
+    ref = pdf.sort_values("label")
+    for c in ("a", "b"):
+        expected = (ref[c] - ref[c].min()) / (ref[c].max() - ref[c].min() + 1e-8)
+        np.testing.assert_allclose(out[c].values, expected.values, atol=1e-10)
+
+
+def test_minmax_plugin_range(spark, pdf):
+    # reference app/plugins/plugin_normalizer.py:158,175: range (-1, 1)
+    df = spark.createDataFrame(pdf)
+    norm = Normalizer(method="minmax", feature_range=(-1.0, 1.0))
+    params = norm.fit(df)
+    out = norm.transform(df, params).toPandas()
+    assert out["a"].min() >= -1.0 - 1e-12 and out["a"].max() <= 1.0 + 1e-12
+
+
+def test_denormalize_roundtrip(spark, pdf):
+    # reference tests/test_normalization_handler.py:702-740 denorm accuracy
+    df = spark.createDataFrame(pdf)
+    for method, eps in (("zscore", 0.0), ("minmax", 1e-8)):
+        norm = Normalizer(method=method, epsilon=eps)
+        params = norm.fit(df)
+        out = norm.inverse_transform(norm.transform(df, params), params)
+        back = out.toPandas().sort_values("label")
+        ref = pdf.sort_values("label")
+        for c in ("a", "b"):
+            np.testing.assert_allclose(back[c].values, ref[c].values, atol=1e-8)
+
+
+def test_train_only_fit_applied_to_all(spark, pdf):
+    # fit on a slice, apply everywhere (app/core/preprocessor_core.py:433-494)
+    df = spark.createDataFrame(pdf)
+    train = df.limit(200)
+    norm = Normalizer(method="zscore", columns=["a"])
+    params = norm.fit(train)
+    tp = train.toPandas()
+    np.testing.assert_allclose(
+        params.params["per_column"]["a"]["mean"], tp["a"].mean(), atol=1e-10
+    )
+    assert params.n_samples == 200
+    out = norm.transform(df, params)
+    assert out.count() == 500
+
+
+def test_params_persistence_roundtrip(tmp_path, spark, pdf):
+    from preprocessor_spark.params import load_params, save_params
+
+    df = spark.createDataFrame(pdf)
+    params = Normalizer(method="zscore").fit(df)
+    p = str(tmp_path / "norm.json")
+    save_params(p, params)
+    loaded = load_params(p)
+    assert loaded.params == params.params
+    assert loaded.to_dict()["checksum"] == params.to_dict()["checksum"]

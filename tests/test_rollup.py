@@ -1,0 +1,130 @@
+"""Rollup-tree invariants (SURVEY §5 strategy item c): tier-k aggregates are
+re-derivable from tier k−1 and equal a direct aggregate of the raw facts;
+gap-fill yields exactly the dense bucket spine; salted == unsalted."""
+
+import pandas as pd
+import pytest
+
+from preprocessor_spark.rollup.tiers import RollupTree, TierSpec
+from preprocessor_spark.synth import token_sequences
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return token_sequences(spark, 5000).cache()
+
+
+@pytest.fixture(scope="module")
+def tree():
+    return RollupTree(
+        time_col="ts",
+        series_cols=["source"],
+        value_col="n_tok",
+        tiers=[TierSpec("5m", "5 minutes"), TierSpec("1h", "1 hour"), TierSpec("1d", "1 day")],
+    )
+
+
+def _pd_tier(pdf: pd.DataFrame, freq: str) -> pd.DataFrame:
+    g = (
+        pdf.assign(bucket_start=pdf["ts"].dt.floor(freq), v=pdf["n_tok"].astype(float))
+        .groupby(["source", "bucket_start"])
+        .agg(
+            n_points=("v", "size"),
+            sum_v=("v", "sum"),
+            min_v=("v", "min"),
+            max_v=("v", "max"),
+        )
+        .reset_index()
+    )
+    return g.sort_values(["source", "bucket_start"]).reset_index(drop=True)
+
+
+def test_tier_chain_matches_direct_pandas_oracle(spark, corpus, tree):
+    tiers = tree.build_all(corpus, derived=False)
+    pdf = corpus.toPandas()
+    for name, freq in (("5m", "5min"), ("1h", "1h"), ("1d", "1D")):
+        got = (
+            tiers[name]
+            .toPandas()
+            .sort_values(["source", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        exp = _pd_tier(pdf, freq)
+        assert len(got) == len(exp)
+        assert (got["n_points"].values == exp["n_points"].values).all()
+        assert abs(got["sum_v"].values - exp["sum_v"].values).max() < 1e-6
+        assert (got["min_v"].values == exp["min_v"].values).all()
+        assert (got["max_v"].values == exp["max_v"].values).all()
+
+
+def test_reaggregation_equals_direct_base_aggregate(spark, corpus, tree):
+    # tier-1d built from tier-5m must equal tier-1d built straight from facts
+    t5 = tree.base_aggregate(corpus, TierSpec("5m", "5 minutes"))
+    via_chain = (
+        tree.reaggregate(t5, TierSpec("1d", "1 day"))
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        tree.base_aggregate(corpus, TierSpec("1d", "1 day"))
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert (via_chain["n_points"].values == direct["n_points"].values).all()
+    assert abs(via_chain["sum_v"].values - direct["sum_v"].values).max() < 1e-6
+    assert abs(via_chain["sum_sq"].values - direct["sum_sq"].values).max() < 1e-3
+
+
+def test_salted_aggregate_equals_unsalted(spark, corpus, tree):
+    t = TierSpec("1h", "1 hour")
+    a = (
+        tree.base_aggregate(corpus, t)
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tree.salted_aggregate(corpus, t, salt_buckets=8)
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert (a["n_points"].values == b["n_points"].values).all()
+    assert abs(a["sum_v"].values - b["sum_v"].values).max() < 1e-6
+
+
+def test_gap_fill_dense_and_zero_counts(spark, corpus, tree):
+    t = TierSpec("1h", "1 hour")
+    tier = tree.base_aggregate(corpus, t)
+    filled = tree.gap_fill(tier, t).toPandas()
+    for src, grp in filled.groupby("source"):
+        expected = pd.date_range(grp["bucket_start"].min(), grp["bucket_start"].max(), freq="1h")
+        assert len(grp) == len(expected)
+    assert (filled["n_points"] >= 0).all()
+
+
+def test_synth_determinism_and_invariant(spark):
+    import pyspark.sql.functions as F
+
+    a = token_sequences(spark, 2000).orderBy("doc_id").toPandas()
+    b = (
+        token_sequences(spark, 2000)
+        .repartition(13)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # bit-identical corpus irrespective of partitioning
+    assert (a["doc_id"].values == b["doc_id"].values).all()
+    assert all((x == y).all() for x, y in zip(a["tokens"], b["tokens"]))
+    # n_tok invariant (BASELINE input_hint): n_tok == size(tokens)
+    bad = (
+        token_sequences(spark, 2000)
+        .filter(F.size("tokens") != F.col("n_tok"))
+        .count()
+    )
+    assert bad == 0
+    # source skew present: s0 ≳ 25% of rows
+    frac = a["source"].value_counts(normalize=True)["s0"]
+    assert frac > 0.25

@@ -1,0 +1,95 @@
+"""Splitter oracles — exact-count preservation, the reference remainder rule
+(app/core/data_processor.py:313-350), temporal contiguity, boundary metadata.
+Mirrors reference tests/test_data_processor.py:400-451, :775-807."""
+
+import pandas as pd
+import pytest
+
+from preprocessor_spark.operators.splitter import (
+    DEFAULT_RATIOS,
+    SPLIT_KEYS,
+    TemporalSplitter,
+    split_counts,
+)
+
+
+def _reference_split_counts(total, ratios):
+    # independent transliteration of the reference algorithm for the oracle
+    counts = {k: int(total * ratios[k]) for k in SPLIT_KEYS}
+    remainder = total - sum(counts.values())
+    if remainder > 0:
+        skeys = sorted(ratios.keys(), key=lambda k: ratios[k], reverse=True)
+        for i in range(remainder):
+            counts[skeys[i % 6]] += 1
+    return counts
+
+
+@pytest.mark.parametrize("total", [6, 7, 100, 101, 997, 12345])
+def test_split_counts_match_reference_rule(total):
+    assert split_counts(total, DEFAULT_RATIOS) == _reference_split_counts(
+        total, DEFAULT_RATIOS
+    )
+
+
+@pytest.mark.parametrize(
+    "ratios",
+    [
+        DEFAULT_RATIOS,
+        {"d1": 0.4, "d2": 0.2, "d3": 0.1, "d4": 0.1, "d5": 0.1, "d6": 0.1},
+        {"d1": 0.17, "d2": 0.17, "d3": 0.17, "d4": 0.17, "d5": 0.16, "d6": 0.16},
+    ],
+)
+def test_count_preservation(ratios):
+    for total in (60, 61, 62, 63, 64, 65, 1009):
+        assert sum(split_counts(total, ratios).values()) == total
+
+
+def test_labeled_split_counts_and_contiguity(spark):
+    n = 1013
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=n, freq="min"),
+            "v": range(n),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    sp = TemporalSplitter(ratios=DEFAULT_RATIOS)
+    labeled = sp.transform(df)
+    got = {
+        r["split_id"]: r["cnt"]
+        for r in labeled.groupBy("split_id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert got == split_counts(n, DEFAULT_RATIOS)
+
+    # temporal contiguity: every split's max(ts) < next split's min(ts)
+    b = (
+        sp.boundaries(labeled)
+        .toPandas()
+        .set_index("split_id")
+        .loc[SPLIT_KEYS]
+    )
+    for prev, nxt in zip(SPLIT_KEYS, SPLIT_KEYS[1:]):
+        assert b.loc[prev, "end_time"] < b.loc[nxt, "start_time"]
+
+
+def test_time_boundary_split_matches_positional(spark):
+    n = 500
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=n, freq="h"), "v": range(n)}
+    )
+    df = spark.createDataFrame(pdf)
+    sp = TemporalSplitter()
+    labeled = sp.transform(df)
+    params = sp.params(labeled)
+    relabeled = TemporalSplitter.split_by_time_boundaries(
+        df, "ts", params.params["boundaries"]
+    )
+    a = labeled.select("ts", "split_id").toPandas().sort_values("ts")
+    b = relabeled.select("ts", "split_id").toPandas().sort_values("ts")
+    assert (a["split_id"].values == b["split_id"].values).all()
+
+
+def test_invalid_ratios_rejected():
+    bad = {"d1": 0.5, "d2": 0.1, "d3": 0.1, "d4": 0.1, "d5": 0.1, "d6": 0.3}
+    with pytest.raises(ValueError):
+        TemporalSplitter(ratios=bad)

@@ -1,0 +1,82 @@
+"""Unbiaser oracles — MA residuals vs pandas rolling(min_periods=1) and EMA
+residuals BIT-EXACT vs pandas ewm (the reference's own implementation,
+app/plugins/plugin_unbiaser.py:89-129)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from preprocessor_spark.operators.unbiaser import Unbiaser
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def series_pdf():
+    n = 400
+    ts = pd.date_range("2020-01-01", periods=n, freq="min")
+    return pd.DataFrame(
+        {
+            "ts": list(ts) * 2,
+            "source": ["s0"] * n + ["s1"] * n,
+            "v": np.concatenate(
+                [RNG.normal(100, 5, n).cumsum() / 50, RNG.normal(0, 1, n)]
+            ),
+        }
+    )
+
+
+def _ref_ma(x: pd.Series, w: int) -> pd.Series:
+    # reference loop semantics (plugin_unbiaser.py:103-107): trailing window
+    # incl. current row, partial at head == rolling(w, min_periods=1).mean()
+    return x - x.rolling(window=w, min_periods=1).mean()
+
+
+def test_ma_unbias_matches_reference(spark, series_pdf):
+    df = spark.createDataFrame(series_pdf)
+    out = (
+        Unbiaser(method="ma", window_size=5, series_cols=["source"], value_cols=["v"])
+        .transform(df)
+        .toPandas()
+        .sort_values(["source", "ts"])
+    )
+    for src, grp in series_pdf.groupby("source"):
+        expected = _ref_ma(grp.sort_values("ts")["v"], 5)
+        got = out[out["source"] == src]["v"]
+        np.testing.assert_allclose(got.values, expected.values, atol=1e-10)
+
+
+def test_ma_partial_leading_windows(spark):
+    # first row residual must be exactly 0 (window = itself)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=6, freq="min"),
+            "source": ["s0"] * 6,
+            "v": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        Unbiaser(method="ma", window_size=3, series_cols=["source"], value_cols=["v"])
+        .transform(df)
+        .toPandas()
+        .sort_values("ts")["v"]
+        .values
+    )
+    np.testing.assert_allclose(out, [0.0, 5.0, 10.0, 10.0, 10.0, 10.0], atol=1e-12)
+
+
+def test_ema_bitexact_vs_pandas(spark, series_pdf):
+    df = spark.createDataFrame(series_pdf).repartition(4)
+    out = (
+        Unbiaser(method="ema", ema_alpha=0.1, series_cols=["source"], value_cols=["v"])
+        .transform(df)
+        .toPandas()
+        .sort_values(["source", "ts"])
+    )
+    for src, grp in series_pdf.groupby("source"):
+        x = grp.sort_values("ts")["v"]
+        expected = x - x.ewm(alpha=0.1, adjust=True).mean()
+        got = out[out["source"] == src]["v"]
+        # bit-exact: same pandas ewm kernel runs inside applyInPandas
+        assert np.array_equal(got.values, expected.values)
