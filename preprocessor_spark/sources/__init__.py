@@ -1,0 +1,8 @@
+from preprocessor_spark.sources.io import (  # noqa: F401
+    detect_format,
+    load_data,
+    load_timeseries_csv,
+    sniff_csv_separator,
+    write_data,
+    write_split_datasets,
+)

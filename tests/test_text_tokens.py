@@ -1,0 +1,172 @@
+"""Text analysis + token functions + multimodal plumbing + sources."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from preprocessor_spark.functions import text as tx
+from preprocessor_spark.functions import tokens as tk
+from preprocessor_spark.synth import token_sequences
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat sat on the mat and it was happy for the day", "en"),
+        (2, "der hund ist nicht mit der katze und das ist gut", "de"),
+        (3, "le chat est sur la table et il est pour une heure", "fr"),
+        (4, "xyzzy plugh qwop", "und"),
+        (5, "", "und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "expected_lang"]).cache()
+
+
+def test_language_detection(spark, docs):
+    out = docs.withColumn("lang", tx.detect_language("text")).collect()
+    for r in out:
+        if r["expected_lang"] != "und":
+            assert r["lang"] == r["expected_lang"], r["text"]
+        else:
+            assert r["lang"] == "und"
+
+
+def test_token_counts_and_quality(spark, docs):
+    out = (
+        docs.filter("doc_id = 1")
+        .select(
+            tx.whitespace_token_count("text").alias("nw"),
+            tx.regex_token_count("text").alias("nt"),
+            tx.punct_ratio("text").alias("pr"),
+            tx.quality_score("text").alias("q"),
+        )
+        .collect()[0]
+    )
+    assert out["nw"] == 13
+    assert out["nt"] == 13  # no punctuation → same as words
+    assert out["pr"] == 0.0
+    assert 0.0 <= out["q"] <= 1.0 and out["q"] >= 0.8  # clean English text
+
+
+def test_doc_and_rolling_fingerprints(spark, docs):
+    fp = docs.select("doc_id", tx.doc_fingerprint("text").alias("f")).collect()
+    vals = {r["doc_id"]: r["f"] for r in fp}
+    assert len(set(vals.values())) == len(vals)  # distinct texts → distinct fps
+    roll = (
+        docs.filter("doc_id=1")
+        .select(F.size(tx.rolling_fingerprints("text", k=4)).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert roll == 13 - 4 + 1
+
+
+def test_token_functions_on_corpus(spark):
+    corpus = token_sequences(spark, 2000)
+    assert tk.verify_n_tok(corpus).count() == 0
+    stats = tk.token_stats(corpus).collect()
+    assert {r["source"] for r in stats} == {f"s{i}" for i in range(7)}
+    trunc = tk.truncate_tokens(corpus, 8)
+    assert trunc.filter(F.col("n_tok") > 8).count() == 0
+    # fingerprint equality invariant: same pipeline twice → identical hashes
+    a = corpus.select("doc_id", tk.token_fingerprint().alias("fa"))
+    b = token_sequences(spark, 2000).select(
+        "doc_id", tk.token_fingerprint().alias("fb")
+    )
+    assert a.join(b, "doc_id").filter(F.col("fa") != F.col("fb")).count() == 0
+
+
+def test_pack_sequences(spark):
+    corpus = token_sequences(spark, 500)
+    packed = tk.pack_sequences(corpus, target_len=512)
+    out = packed.select(
+        "source", "bin_id", F.size("tokens").alias("sz"), "n_tok_packed"
+    ).collect()
+    assert all(r["sz"] == r["n_tok_packed"] for r in out)
+    total_in = corpus.agg(F.sum("n_tok")).collect()[0][0]
+    total_out = packed.agg(F.sum("n_tok_packed")).collect()[0][0]
+    assert total_in == total_out  # packing loses nothing
+
+
+def test_multimodal_plumbing(spark):
+    from preprocessor_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 300).cache()
+    assert media.count() == 300
+    feats = extract_features(media).cache()
+    assert feats.count() == 300
+    row = feats.first()
+    assert len(row["features"]) == FEATURE_DIM
+    # determinism: same payload → same features
+    again = extract_features(media)
+    joined = feats.alias("a").join(again.alias("b"), "media_id")
+    diff = joined.filter(F.col("a.features") != F.col("b.features")).count()
+    assert diff == 0
+    # real backend is an explicit stub
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_backend="real")
+    # resize plan: target box bounded and aspect preserved-ish
+    imgs = resize_images(media.filter("modality = 'image'"), max_side=256)
+    bad = imgs.filter(
+        (F.col("target_width") > 256) | (F.col("target_height") > 256)
+    ).count()
+    assert bad == 0
+    # frame sampling: one row per second of video
+    vids = sample_frames(media.filter("modality = 'video'"), every_ms=1000)
+    one = vids.groupBy("media_id").count().join(
+        media.select("media_id", "duration_ms"), "media_id"
+    )
+    mismatched = one.filter(
+        F.col("count") != F.ceil(F.col("duration_ms") / 1000.0)
+    ).count()
+    assert mismatched == 0
+
+
+def test_sources_io(spark, tmp_path):
+    from preprocessor_spark.sources import (
+        detect_format,
+        load_data,
+        load_timeseries_csv,
+        sniff_csv_separator,
+        write_split_datasets,
+    )
+
+    assert detect_format("x.parquet") == "parquet"
+    assert detect_format("x.jsonl") == "json"
+    with pytest.raises(ValueError):
+        detect_format("x.xlsx")
+
+    # semicolon CSV with legacy dayfirst timestamps + a bad numeric cell
+    p = tmp_path / "legacy.csv"
+    p.write_text(
+        "DATE_TIME;OPEN;CLOSE\n"
+        "13/01/2020 9:30;1.5;2.5\n"
+        "14/01/2020 9:30;oops;3.5\n"
+    )
+    assert sniff_csv_separator(spark, str(p)) == ";"
+    df = load_timeseries_csv(spark, str(p), ts_format="d/M/yyyy H:mm")
+    rows = df.orderBy("DATE_TIME").collect()
+    assert rows[0]["DATE_TIME"].day == 13  # dayfirst honored
+    assert rows[1]["OPEN"] is None  # errors='coerce' → null
+    assert rows[1]["CLOSE"] == 3.5
+
+    # split sink: partitioned layout with all six labels
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=60, freq="min"),
+            "v": np.arange(60.0),
+        }
+    )
+    from preprocessor_spark.operators import TemporalSplitter
+
+    labeled = TemporalSplitter().transform(spark.createDataFrame(pdf))
+    out = str(tmp_path / "splits")
+    write_split_datasets(labeled, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    assert back.select("split_id").distinct().count() == 6
