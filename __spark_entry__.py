@@ -1,38 +1,923 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 /
+the north rule; ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL run
+side-by-side at sf=0.01. Column aliases match exactly on both sides; float
+columns are rounded identically on both sides so order-insensitive value
+hashes agree despite summation-order differences.
+
+Rows-only entries (no SQL equivalent): hash-based fingerprints/minhash/
+simhash (xxhash64 is Spark-specific), LSH ANN, linear interpolation, codec
+round-trips — all of which have exact pytest oracles instead (tests/).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: hourly continuous-aggregate rollup of the events stream with the
+# full tier chain (1h from raw, 1d re-aggregated from 1h), SURVEY §2.4/§2.5
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_rollup_1h(spark, SF_DEFAULT)
+
+
+# ------------------------------------------------------------ rollup tiers
+def q_rollup_1h(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+        )
+    )
+
+
+def q_rollup_1d_from_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Tier chain: the 1d tier re-aggregates the 1h tier's algebraic stats
+    (never the raw facts) — the continuous-aggregate invariant."""
+    ev = _t(spark, sf, "events")
+    t1h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        t1h.groupBy("event_type", F.date_trunc("day", "h").alias("bucket_start"))
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.round(F.sum("s"), 4).alias("sum_v"),
+            F.round(F.min("mn"), 6).alias("min_v"),
+            F.round(F.max("mx"), 6).alias("max_v"),
+        )
+    )
+
+
+def q_rollup_gapfill_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly spine per event_type, LEFT JOIN the 1h tier, zero-filled
+    counts (SURVEY §2.3 J1 / W3 gap-fill)."""
+    ev = _t(spark, sf, "events")
+    t1h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = t1h.groupBy("event_type").agg(
+        F.min("bucket_start").alias("t0"), F.max("bucket_start").alias("t1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_start"),
+    )
+    return spine.join(t1h, ["event_type", "bucket_start"], "left").select(
+        "event_type",
+        "bucket_start",
+        F.coalesce("n", F.lit(0)).alias("n_points"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session count with 30-minute inactivity gaps — lag + running
+    sum (streaming-style sessionization as batch window algebra)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = ev.withColumn("new_s", gap).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------- normalize / unbias ops
+def q_zscore_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event_type z-score (sample std, zero-variance→1.0 — reference
+    A2/M1 semantics) of events.value."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.mean("value").alias("mu"),
+        F.coalesce(
+            F.when(F.stddev_samp("value") == 0.0, 1.0).otherwise(
+                F.stddev_samp("value")
+            ),
+            F.lit(1.0),
+        ).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "v_norm"
+            ),
+        )
+    )
+
+
+def q_minmax_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event_type min-max with the default-plugin +1e-8 epsilon (M2)."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo") + 1e-8),
+                6,
+            ).alias("v_norm"),
+        )
+    )
+
+
+def q_ma_unbias(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 moving-average residual: trailing 5-row window incl. current row,
+    partial head windows, per event_type ordered by (ts, event_id)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.avg("value").over(w), 6).alias("v_unbiased"),
+    )
+
+
+def q_outlier_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 outlier row filter: keep |v − mean| ≤ 3·std per event_type."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.mean("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) <= 3.0 * F.col("sigma"))
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """W12 autocorrelation screen: corr(v, lag_k(v)) for k=1..3 per
+    event_type."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    return lagged.groupBy("event_type").agg(
+        *[F.round(F.corr("value", f"l{k}"), 6).alias(f"ac{k}") for k in (1, 2, 3)]
+    )
+
+
+def q_split_six_way(spark: SparkSession, sf: str) -> DataFrame:
+    """W6 exact-count six-way temporal split (reference remainder rule) —
+    per-split counts and time boundaries (W7)."""
+    from preprocessor_spark.operators.splitter import TemporalSplitter
+
+    ev = _t(spark, sf, "events")
+    sp = TemporalSplitter(time_col="ts", tiebreak_cols=["event_id"])
+    labeled = sp.transform(ev)
+    return labeled.groupBy("split_id").agg(
+        F.count(F.lit(1)).alias("sample_count"),
+        F.min("ts").alias("start_time"),
+        F.max("ts").alias("end_time"),
+    )
+
+
+def q_trim_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 scale-path row trim: drop a time range (partition-prunable
+    predicate), count the remainder per event_type."""
+    from preprocessor_spark.operators.trimmer import Trimmer
+
+    ev = _t(spark, sf, "events")
+    trimmed = Trimmer.drop_time_range(
+        ev, "ts", "2024-01-10 00:00:00", "2024-01-15 00:00:00"
+    )
+    return trimmed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+    )
+
+
+# --------------------------------------------------------------- documents
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-sequence stats per source over whitespace-tokenized documents
+    (the (doc_id, tokens, n_tok, source) model derived in-query)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("avg_len"),
+        F.min("n_tok").alias("min_len"),
+        F.max("n_tok").alias("max_len"),
+    )
+
+
+def q_token_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-length histogram in buckets of 16 (corpus length profile)."""
+    d = _t(spark, sf, "documents")
+    b = (F.size(F.split("text", " ")) / 16).cast("bigint").alias("len_bucket")
+    return d.groupBy(b).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: lowest doc_id per identical text (SURVEY training-data
+    dedup, exact tier)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("text").agg(F.min("doc_id").alias("keep_id")).select(
+        "keep_id"
+    )
+
+
+def q_dedup_word_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-set (Jaccard == 1) dedup: lowest doc_id per identical sorted
+    distinct word set."""
+    d = _t(spark, sf, "documents")
+    key = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    return (
+        d.select(key.alias("wordset"), "doc_id")
+        .groupBy("wordset")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+
+
+def q_duplicate_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 duplicate accounting over the corpus."""
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("text").agg(F.count(F.lit(1)).alias("copies"))
+    return per.agg(
+        F.count(F.lit(1)).alias("distinct_texts"),
+        F.sum("copies").cast("bigint").alias("total_docs"),
+        F.sum(F.col("copies") - 1).cast("bigint").alias("duplicate_docs"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document text analysis: chars, whitespace tokens, BPE-ish regex
+    tokens, punctuation ratio."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_tokens_regex"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+            )
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+def q_stopword_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-hit language-ID features per document (distinct-word
+    intersection with tiny per-language lists)."""
+    from preprocessor_spark.functions.text import STOPWORDS
+
+    d = _t(spark, sf, "documents")
+    ws = F.array_distinct(F.split(F.lower("text"), " "))
+    cols = [
+        F.size(
+            F.array_intersect(ws, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        ).alias(f"hits_{lang}")
+        for lang in ("en", "de", "fr", "es")
+    ]
+    return d.select("doc_id", *cols)
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score buckets (documents kept per quality band)."""
+    from preprocessor_spark.functions.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.round(quality_score("text"), 6).alias("quality"))
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# -------------------------------------------------------------- embeddings
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding (exact ANN
+    baseline)."""
+    from preprocessor_spark.functions.similarity import cosine
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("q_emb").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine near-dup pairs among vec_id < 300 at threshold 0.5
+    (the LSH-bucketed variant is the scale path, pytest-verified)."""
+    from preprocessor_spark.functions.similarity import cosine
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    l = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    r = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding count + mean L2 norm (array aggregate check)."""
+    from preprocessor_spark.functions.similarity import norm
+
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", norm(F.col("embedding").cast("array<double>")).alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("n2"), 6).alias("avg_norm"),
+        )
+    )
+
+
+# ----------------------------------------------------------- TPC-H breadth
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (relational agg breadth check)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Join breadth check: lineitem ⋈ orders, revenue per order priority.
+    The orders side is the smaller input — joined shuffle-side with AQE;
+    at warehouse scale this is the canonical broadcast-dim pattern."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 customers by revenue (join + agg + top-k)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------- rows-only queries
+def q_interpolate_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill the hourly mean series per event_type and linearly
+    interpolate missing buckets (W3) — rows-only check; exact pandas oracle
+    in tests/test_cleaner.py."""
+    from preprocessor_spark.operators.cleaner import interpolate_linear
+
+    t1h = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.avg("value").alias("mean_v"))
+    )
+    bounds = t1h.groupBy("event_type").agg(
+        F.min("bucket_start").alias("t0"), F.max("bucket_start").alias("t1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "bucket_start"
+        ),
+    )
+    filled = spine.join(t1h, ["event_type", "bucket_start"], "left")
+    out = interpolate_linear(filled, ["mean_v"], "bucket_start", ["event_type"])
+    return out.select(
+        "event_type", "bucket_start", F.round("mean_v", 6).alias("mean_v")
+    )
+
+
+def q_ema_unbias(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 EMA residual via pandas ewm inside applyInPandas — rows-only
+    (bit-exact pandas oracle in tests/test_unbiaser.py)."""
+    from preprocessor_spark.operators.unbiaser import Unbiaser
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    u = Unbiaser(
+        method="ema",
+        ema_alpha=0.1,
+        series_cols=["event_type"],
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    )
+    return u.transform(ev).select(
+        "event_id", "event_type", F.round("value", 6).alias("v_unbiased")
+    )
+
+
+def q_minhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only; known
+    duplicate corpus oracle in tests/test_dedup.py)."""
+    from preprocessor_spark.functions.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, jaccard_threshold=0.5, shingle_mode="word", shingle_k=3
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash hamming≤3 near-dup pairs — rows-only."""
+    from preprocessor_spark.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def q_tier_compression_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Gorilla/delta-of-delta block encode→decode of the 1h tier, returning
+    per-source block stats + verified-equal flag — rows-only (bit-exact
+    round-trip oracle in tests/test_compression_blocks.py)."""
+    from preprocessor_spark.rollup.compression import (
+        decode_tier_blocks,
+        encode_tier_blocks,
+    )
+
+    ev = _t(spark, sf, "events")
+    tier = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", "ts").alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("value").alias("sum_v"),
+        F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    blocks = encode_tier_blocks(tier, ["source"], block_buckets=256)
+    decoded = decode_tier_blocks(blocks, ["source"])
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.sum("sum_v"), 4).alias("sum_v_total"),
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 (scale path) — rows-only; exact-recall
+    oracle in tests/test_similarity.py."""
+    from preprocessor_spark.functions.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return lsh_topk(e, list(q), k=10, num_planes=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # rollup / downsample / retention tree
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d_from_1h": q_rollup_1d_from_1h,
+        "rollup_gapfill_1h": q_rollup_gapfill_1h,
+        "sessionize": q_sessionize,
+        # preprocessing operators (reference parity)
+        "zscore_value": q_zscore_value,
+        "minmax_value": q_minmax_value,
+        "ma_unbias": q_ma_unbias,
+        "outlier_filter": q_outlier_filter,
+        "autocorr": q_autocorr,
+        "split_six_way": q_split_six_way,
+        "trim_time_range": q_trim_time_range,
+        # documents / training-data pipeline
+        "token_stats": q_token_stats,
+        "token_hist": q_token_hist,
+        "dedup_exact": q_dedup_exact,
+        "dedup_word_set": q_dedup_word_set,
+        "duplicate_stats": q_duplicate_stats,
+        "text_stats": q_text_stats,
+        "stopword_langid": q_stopword_langid,
+        "doc_quality": q_doc_quality,
+        # embeddings / similarity
+        "similarity_topk": q_similarity_topk,
+        "embedding_pairs": q_embedding_pairs,
+        "embedding_norms": q_embedding_norms,
+        # relational breadth
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_priority": q_revenue_by_priority,
+        "top_customers": q_top_customers,
+        # rows-only (non-SQL-expressible; pytest oracles instead)
+        "interpolate_hourly": q_interpolate_hourly,
+        "ema_unbias": q_ema_unbias,
+        "minhash_neardups": q_minhash_neardups,
+        "simhash_neardups": q_simhash_neardups,
+        "tier_compression_roundtrip": q_tier_compression_roundtrip,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {
+        "en": "['the','and','of','to','in','is','that','it','was','for']",
+        "de": "['der','die','das','und','ist','von','mit','den','nicht','ein']",
+        "fr": "['le','la','les','de','et','est','un','une','que','pour']",
+        "es": "['el','la','los','de','y','es','un','una','que','por']",
+    }
+    return {
+        "rollup_1h": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_start,
+                   count(*) AS n_points,
+                   round(sum(value), 4) AS sum_v,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v,
+                   round(avg(value), 6) AS mean_v
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1d_from_1h": """
+            WITH t1h AS (
+              SELECT event_type, date_trunc('hour', ts) AS h,
+                     count(*) AS n, sum(value) AS s,
+                     min(value) AS mn, max(value) AS mx
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, date_trunc('day', h) AS bucket_start,
+                   CAST(sum(n) AS BIGINT) AS n_points,
+                   round(sum(s), 4) AS sum_v,
+                   round(min(mn), 6) AS min_v,
+                   round(max(mx), 6) AS max_v
+            FROM t1h GROUP BY 1, 2
+        """,
+        "rollup_gapfill_1h": """
+            WITH t1h AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(bucket_start) AS t0, max(bucket_start) AS t1
+              FROM t1h GROUP BY 1
+            ), spine AS (
+              SELECT b.event_type,
+                     unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR))
+                       AS bucket_start
+              FROM bounds b
+            )
+            SELECT s.event_type, s.bucket_start,
+                   COALESCE(t.n, 0) AS n_points
+            FROM spine s LEFT JOIN t1h t
+              ON s.event_type = t.event_type AND s.bucket_start = t.bucket_start
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id,
+                   CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY 1
+        """,
+        "zscore_value": """
+            WITH stats AS (
+              SELECT event_type, avg(value) AS mu,
+                     CASE WHEN COALESCE(stddev_samp(value), 0) = 0 THEN 1.0
+                          ELSE stddev_samp(value) END AS sigma
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   round((e.value - s.mu) / s.sigma, 6) AS v_norm
+            FROM events e JOIN stats s USING (event_type)
+        """,
+        "minmax_value": """
+            WITH stats AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   round((e.value - s.lo) / (s.hi - s.lo + 1e-8), 6) AS v_norm
+            FROM events e JOIN stats s USING (event_type)
+        """,
+        "ma_unbias": """
+            SELECT event_id, event_type,
+                   round(value - avg(value) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                   AS v_unbiased
+            FROM events
+        """,
+        "outlier_filter": """
+            WITH stats AS (
+              SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+            FROM events e JOIN stats s USING (event_type)
+            WHERE abs(e.value - s.mu) <= 3.0 * s.sigma
+        """,
+        "autocorr": """
+            WITH lagged AS (
+              SELECT event_type, value,
+                     lag(value, 1) OVER w AS l1,
+                     lag(value, 2) OVER w AS l2,
+                     lag(value, 3) OVER w AS l3
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            )
+            SELECT event_type,
+                   round(corr(value, l1), 6) AS ac1,
+                   round(corr(value, l2), 6) AS ac2,
+                   round(corr(value, l3), 6) AS ac3
+            FROM lagged GROUP BY 1
+        """,
+        "split_six_way": """
+            WITH ordered AS (
+              SELECT ts, row_number() OVER (ORDER BY ts, event_id) - 1 AS pos
+              FROM events
+            ), n AS (SELECT count(*) AS total FROM events),
+            base AS (
+              SELECT total,
+                     CAST(floor(total * 0.5) AS BIGINT) AS c1,
+                     CAST(floor(total * 0.1) AS BIGINT) AS c2
+              FROM n
+            ), alloc AS (
+              -- remainder round-robin over ratio-descending keys d1,d2..d6
+              SELECT total, c1, c2, total - (c1 + 5 * c2) AS rem FROM base
+            ), counts AS (
+              SELECT c1 + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS k1,
+                     c2 + CASE WHEN rem > 1 THEN 1 ELSE 0 END AS k2,
+                     c2 + CASE WHEN rem > 2 THEN 1 ELSE 0 END AS k3,
+                     c2 + CASE WHEN rem > 3 THEN 1 ELSE 0 END AS k4,
+                     c2 + CASE WHEN rem > 4 THEN 1 ELSE 0 END AS k5,
+                     c2 AS k6
+              FROM alloc
+            ), labeled AS (
+              SELECT o.ts,
+                     CASE
+                       WHEN o.pos < c.k1 THEN 'd1'
+                       WHEN o.pos < c.k1 + c.k2 THEN 'd2'
+                       WHEN o.pos < c.k1 + c.k2 + c.k3 THEN 'd3'
+                       WHEN o.pos < c.k1 + c.k2 + c.k3 + c.k4 THEN 'd4'
+                       WHEN o.pos < c.k1 + c.k2 + c.k3 + c.k4 + c.k5 THEN 'd5'
+                       ELSE 'd6'
+                     END AS split_id
+              FROM ordered o CROSS JOIN counts c
+            )
+            SELECT split_id, count(*) AS sample_count,
+                   min(ts) AS start_time, max(ts) AS end_time
+            FROM labeled GROUP BY 1
+        """,
+        "trim_time_range": """
+            SELECT event_type, count(*) AS n_rows,
+                   round(sum(value), 4) AS sum_v
+            FROM events
+            WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+                       AND ts < TIMESTAMP '2024-01-15 00:00:00')
+            GROUP BY 1
+        """,
+        "token_stats": """
+            WITH toks AS (
+              SELECT source, len(string_split(text, ' ')) AS n_tok
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   round(avg(n_tok), 6) AS avg_len,
+                   CAST(min(n_tok) AS INT) AS min_len,
+                   CAST(max(n_tok) AS INT) AS max_len
+            FROM toks GROUP BY 1
+        """,
+        "token_hist": """
+            SELECT CAST(floor(len(string_split(text, ' ')) / 16) AS BIGINT)
+                     AS len_bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id FROM documents GROUP BY text
+        """,
+        "dedup_word_set": """
+            SELECT min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY array_to_string(
+                       list_sort(list_distinct(string_split(text, ' '))), ' ')
+        """,
+        "duplicate_stats": """
+            WITH per AS (
+              SELECT text, count(*) AS copies FROM documents GROUP BY 1
+            )
+            SELECT count(*) AS distinct_texts,
+                   CAST(sum(copies) AS BIGINT) AS total_docs,
+                   CAST(sum(copies - 1) AS BIGINT) AS duplicate_docs
+            FROM per
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                   CAST(len(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                     AS n_tokens_regex,
+                   round(
+                     (length(text) - length(regexp_replace(
+                        text, '[^\\w\\s]', '', 'g')))
+                     / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        """,
+        "stopword_langid": f"""
+            SELECT doc_id,
+                   CAST(len(list_intersect(ws, {stop['en']})) AS INT) AS hits_en,
+                   CAST(len(list_intersect(ws, {stop['de']})) AS INT) AS hits_de,
+                   CAST(len(list_intersect(ws, {stop['fr']})) AS INT) AS hits_fr,
+                   CAST(len(list_intersect(ws, {stop['es']})) AS INT) AS hits_es
+            FROM (SELECT doc_id,
+                         list_distinct(string_split(lower(text), ' ')) AS ws
+                  FROM documents)
+        """,
+        "doc_quality": """
+            WITH q AS (
+              SELECT round(
+                0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0
+                            WHEN length(text) >= 5 THEN 0.5 ELSE 0.0 END)
+              + 0.2 * (CASE WHEN
+                  (length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')))
+                  / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN
+                  len(list_intersect(string_split(lower(text),' '),
+                    ['the','and','of','to','in','is','that','it','was','for']))
+                  / greatest(len(string_split(lower(text),' ')), 1) >= 0.05
+                  THEN 1.0 ELSE 0.0 END)
+              + 0.2 * (CASE WHEN
+                  length(text) / greatest(len(string_split(text,' ')), 1)
+                  BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+              FROM documents
+            )
+            SELECT quality, count(*) AS n_docs FROM q GROUP BY 1
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.q_emb AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+                                                CAST(q.q_emb AS DOUBLE[])))), 4)
+                   AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "embedding_pairs": """
+            WITH sub AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE vec_id < 300
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_sim
+            FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.5
+        """,
+        "embedding_norms": """
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(sqrt(list_dot_product(
+                     CAST(embedding AS DOUBLE[]),
+                     CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+            FROM embeddings GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "top_customers": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1
+            )
+            SELECT c_custkey, c_name, revenue
+            FROM rev JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+    }

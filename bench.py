@@ -1,0 +1,120 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the engine's primary metric (BASELINE.json): rolled-up
+points/sec per retention tier on the deterministic synthetic token corpus,
+reported under "rollup" (informational keys are allowed alongside the
+required ones).
+
+Scaling evidence (N vs 4N): run twice —
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare "rollup.points_per_sec"; tools/scaling_bench.py automates this
+and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "2000000"))
+
+HEADLINE = [
+    "rollup_1h",
+    "rollup_1d_from_1h",
+    "rollup_gapfill_1h",
+    "sessionize",
+    "zscore_value",
+    "ma_unbias",
+    "split_six_way",
+    "token_stats",
+    "dedup_exact",
+    "dedup_word_set",
+    "text_stats",
+    "similarity_topk",
+    "pricing_summary",
+    "revenue_by_priority",
+    "minhash_neardups",
+    "tier_compression_roundtrip",
+]
+
+
+def _consume(df) -> int:
+    """Materialize a query like a real sink would (count forces full exec;
+    AQE finalizes the plan)."""
+    return df.count()
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from preprocessor_spark import get_spark
+    from preprocessor_spark.rollup.tiers import RollupTree
+    from preprocessor_spark.synth import token_sequences
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _consume(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # primary metric: rolled-up points/sec per retention tier on the
+    # synthetic pre-tokenized corpus (raw → 5m → 1h → 1d chain)
+    corpus = token_sequences(spark, CORPUS_ROWS).cache()
+    n_rows = corpus.count()  # materialize cache so tiers time pure rollup
+    tree = RollupTree(value_col="n_tok")
+    tier_stats = {}
+    t_all0 = time.perf_counter()
+    tiers = tree.build_all(corpus, derived=False)
+    prev_rows = n_rows
+    for name, df in tiers.items():
+        t0 = time.perf_counter()
+        out_rows = _consume(df)
+        dt = time.perf_counter() - t0
+        tier_stats[name] = {
+            "seconds": round(dt, 3),
+            "in_points": prev_rows,
+            "out_buckets": out_rows,
+            "points_per_sec": round(prev_rows / dt),
+        }
+        prev_rows = out_rows
+    rollup_seconds = time.perf_counter() - t_all0
+    corpus.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": int(CPUS),
+                "rollup": {
+                    "corpus_rows": n_rows,
+                    "total_seconds": round(rollup_seconds, 3),
+                    "points_per_sec": round(n_rows / rollup_seconds),
+                    "tiers": tier_stats,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

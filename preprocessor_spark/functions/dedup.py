@@ -82,12 +82,22 @@ def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
 # ------------------------------------------------------------ MinHash + LSH
 def minhash_signature(shingles: F.Column, num_hashes: int = 64) -> F.Column:
     """num_hashes-wide MinHash signature: min over xxhash64(shingle, seed_i).
-    One native expression per hash — no UDF, no explode."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+
+    Shape matters: ONE transform producing a 64-hash array per shingle, then
+    an elementwise-min fold. The naive `array(*[array_min(transform(...))
+    for i in 64])` references the shingle expression 64 times — Catalyst's
+    CollapseProject inlines it and recomputes the shingles 64x per row.
+    Here the shingle column appears exactly once, so the plan stays linear
+    in |shingles| regardless of projection collapsing. No UDF, no explode."""
+    per_shingle = F.transform(
+        shingles,
+        lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+    )
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
+    return F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
     )
 
 
@@ -99,6 +109,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding:
       shingle → signature → band-hash → self-join per band bucket →
@@ -109,13 +120,22 @@ def minhash_lsh_pairs(
     shingle arrays carried with each side. ~(threshold, bands, rows/band)
     tuned by the standard S-curve 1-(1-s^r)^b."""
     rows_per_band = num_hashes // bands
+    mk_shingles = char_shingles if shingle_mode == "char" else word_shingles
+    # lift single-small-file inputs to full parallelism before the CPU-heavy
+    # shingle+signature projection (shuffles only raw text, once)
+    target_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target_parts:
+        df = df.repartition(target_parts, id_col)
     base = df.select(
         F.col(id_col),
-        char_shingles(text_col, shingle_k).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-    banded = base.select(
+        mk_shingles(text_col, shingle_k).alias("__sh"),
+    )
+    # band-bucket stream carries ONLY (id, band, band_hash): the self-join
+    # shuffles ids, never the shingle arrays (arrays would be duplicated
+    # x bands otherwise — dominates wall time at corpus scale)
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    banded = sig.select(
         id_col,
-        "__sh",
         F.explode(
             F.array(
                 *[
@@ -129,7 +149,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__band"),
-    ).select(id_col, "__sh", "__band.band", "__band.bh")
+    ).select(id_col, "__band.band", "__band.bh")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -144,15 +164,18 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification: attach shingles to the (few) surviving candidates only
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
