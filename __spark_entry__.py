@@ -464,6 +464,77 @@ def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- metadata / quality
+def q_null_completeness(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 null counts + completeness % over events."""
+    from preprocessor_spark.operators.metadata import null_report
+
+    return null_report(_t(spark, sf, "events"))
+
+
+def q_dup_row_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 whole-row duplicate stats over documents rows."""
+    from preprocessor_spark.operators.metadata import duplicate_row_stats
+
+    return duplicate_row_stats(_t(spark, sf, "documents").select("text", "source"))
+
+
+def q_describe_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 describe(): count/mean/std/min/quartiles/max, long format."""
+    from preprocessor_spark.operators.metadata import describe_stats
+
+    out = describe_stats(
+        _t(spark, sf, "lineitem"), ["l_quantity", "l_discount"]
+    )
+    return out.select("column", "stat", F.round("value", 6).alias("value"))
+
+
+def q_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 IQR outlier counts (1.5·IQR beyond Q1/Q3)."""
+    from preprocessor_spark.operators.metadata import iqr_outlier_counts
+
+    return iqr_outlier_counts(_t(spark, sf, "events"), ["value"])
+
+
+def q_text_colstats(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 text-column stats (distinct count, avg length) for documents."""
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.countDistinct("source").alias("n_unique_source"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_text_length"),
+        F.countDistinct("lang").alias("n_unique_lang"),
+    )
+
+
+def q_snr(spark: SparkSession, sf: str) -> DataFrame:
+    """M8 SNR + Shannon-Hartley capacity per event_type."""
+    from preprocessor_spark.functions.analysis import snr_stats
+
+    return snr_stats(_t(spark, sf, "events"), "value", by=["event_type"])
+
+
+def q_pipeline_zscore_by_split(spark: SparkSession, sf: str) -> DataFrame:
+    """EP1 Stage B+C parity end-to-end: six-way temporal split → z-score fit
+    on d1+d2 ONLY → transform all → per-split mean/std of the normalized
+    column (A11 validation surface). The oracle reproduces the whole chain
+    in SQL including the exact remainder rule."""
+    from preprocessor_spark.operators.normalizer import Normalizer
+    from preprocessor_spark.operators.splitter import TemporalSplitter
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "value")
+    labeled = TemporalSplitter(
+        time_col="ts", tiebreak_cols=["event_id"]
+    ).transform(ev)
+    norm = Normalizer(method="zscore", columns=["value"])
+    params = norm.fit(labeled.filter(F.col("split_id").isin("d1", "d2")))
+    normed = norm.transform(labeled, params)
+    return normed.groupBy("split_id").agg(
+        F.round(F.mean("value"), 6).alias("mean_norm"),
+        F.round(F.stddev_samp("value"), 6).alias("std_norm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ------------------------------------------------------- rows-only queries
 def q_interpolate_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-fill the hourly mean series per event_type and linearly
@@ -556,6 +627,33 @@ def q_tier_compression_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 distributed binned MI: rank lineitem features against
+    extendedprice — rows-only (synthetic-oracle pytest in
+    tests/test_metadata_analysis.py)."""
+    from preprocessor_spark.functions.analysis import mutual_information
+
+    li = _t(spark, sf, "lineitem")
+    return mutual_information(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", bins=8
+    )
+
+
+def q_fft_peaks(spark: SparkSession, sf: str) -> DataFrame:
+    """W13 FFT top-5 spectral peaks of the hourly event-count series —
+    rows-only (dominant-frequency pytest oracle)."""
+    from preprocessor_spark.functions.analysis import fft_top_peaks
+
+    t1h = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return fft_top_peaks(
+        t1h, "n", time_col="bucket_start", series_cols=["event_type"], top_k=5
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN top-10 (scale path) — rows-only; exact-recall
     oracle in tests/test_similarity.py."""
@@ -594,6 +692,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_pairs": q_embedding_pairs,
         "embedding_norms": q_embedding_norms,
+        # metadata / quality / diagnostics
+        "null_completeness": q_null_completeness,
+        "dup_row_stats": q_dup_row_stats,
+        "describe_stats": q_describe_stats,
+        "iqr_outliers": q_iqr_outliers,
+        "text_colstats": q_text_colstats,
+        "snr": q_snr,
+        "pipeline_zscore_by_split": q_pipeline_zscore_by_split,
         # relational breadth
         "pricing_summary": q_pricing_summary,
         "revenue_by_priority": q_revenue_by_priority,
@@ -604,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
         "tier_compression_roundtrip": q_tier_compression_roundtrip,
+        "mutual_info": q_mutual_info,
+        "fft_peaks": q_fft_peaks,
         "lsh_topk": q_lsh_topk,
     }
 
@@ -888,6 +996,147 @@ def oracle_sql() -> dict[str, str]:
                      CAST(embedding AS DOUBLE[]),
                      CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
             FROM embeddings GROUP BY 1
+        """,
+        "null_completeness": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props,
+                   round((1 - (
+                     sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                   ) * 1.0 / greatest(count(*) * 6, 1)) * 100, 6)
+                     AS completeness_pct
+            FROM events
+        """,
+        "dup_row_stats": """
+            WITH per AS (
+              SELECT text, source, count(*) AS copies
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT CAST(sum(copies) AS BIGINT) AS n_rows,
+                   CAST(sum(copies - 1) AS BIGINT) AS duplicate_rows,
+                   round(sum(copies - 1) * 100.0 / sum(copies), 6)
+                     AS duplicate_pct
+            FROM per
+        """,
+        "describe_stats": """
+            WITH s AS (
+              SELECT
+                count(l_quantity)::DOUBLE AS "l_quantity||count",
+                avg(l_quantity) AS "l_quantity||mean",
+                stddev_samp(l_quantity) AS "l_quantity||std",
+                min(l_quantity)::DOUBLE AS "l_quantity||min",
+                quantile_cont(l_quantity, 0.25) AS "l_quantity||q1",
+                quantile_cont(l_quantity, 0.5) AS "l_quantity||median",
+                quantile_cont(l_quantity, 0.75) AS "l_quantity||q3",
+                max(l_quantity)::DOUBLE AS "l_quantity||max",
+                count(l_discount)::DOUBLE AS "l_discount||count",
+                avg(l_discount) AS "l_discount||mean",
+                stddev_samp(l_discount) AS "l_discount||std",
+                min(l_discount)::DOUBLE AS "l_discount||min",
+                quantile_cont(l_discount, 0.25) AS "l_discount||q1",
+                quantile_cont(l_discount, 0.5) AS "l_discount||median",
+                quantile_cont(l_discount, 0.75) AS "l_discount||q3",
+                max(l_discount)::DOUBLE AS "l_discount||max"
+              FROM lineitem
+            )
+            SELECT 'l_quantity' AS column, 'count' AS stat, round("l_quantity||count", 6) AS value FROM s
+            UNION ALL SELECT 'l_quantity', 'mean', round("l_quantity||mean", 6) FROM s
+            UNION ALL SELECT 'l_quantity', 'std', round("l_quantity||std", 6) FROM s
+            UNION ALL SELECT 'l_quantity', 'min', round("l_quantity||min", 6) FROM s
+            UNION ALL SELECT 'l_quantity', 'q1', round("l_quantity||q1", 6) FROM s
+            UNION ALL SELECT 'l_quantity', 'median', round("l_quantity||median", 6) FROM s
+            UNION ALL SELECT 'l_quantity', 'q3', round("l_quantity||q3", 6) FROM s
+            UNION ALL SELECT 'l_quantity', 'max', round("l_quantity||max", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'count', round("l_discount||count", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'mean', round("l_discount||mean", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'std', round("l_discount||std", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'min', round("l_discount||min", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'q1', round("l_discount||q1", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'median', round("l_discount||median", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'q3', round("l_discount||q3", 6) FROM s
+            UNION ALL SELECT 'l_discount', 'max', round("l_discount||max", 6) FROM s
+        """,
+        "iqr_outliers": """
+            WITH q AS (
+              SELECT quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events
+            )
+            SELECT CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                               OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS outliers_value
+            FROM events e CROSS JOIN q
+        """,
+        "text_colstats": """
+            SELECT count(DISTINCT source) AS n_unique_source,
+                   round(avg(length(text)), 6) AS avg_text_length,
+                   count(DISTINCT lang) AS n_unique_lang
+            FROM documents
+        """,
+        "snr": """
+            WITH s AS (
+              SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+              FROM events GROUP BY 1
+            )
+            SELECT event_type,
+                   round((mu / sigma) * (mu / sigma), 6) AS snr,
+                   round(log2(1 + (mu / sigma) * (mu / sigma)), 6)
+                     AS channel_capacity_bits
+            FROM s
+        """,
+        "pipeline_zscore_by_split": """
+            WITH ordered AS (
+              SELECT event_id, value,
+                     row_number() OVER (ORDER BY ts, event_id) - 1 AS pos
+              FROM events
+            ), n AS (SELECT count(*) AS total FROM events),
+            base AS (
+              SELECT total,
+                     CAST(floor(total * 0.5) AS BIGINT) AS c1,
+                     CAST(floor(total * 0.1) AS BIGINT) AS c2
+              FROM n
+            ), alloc AS (
+              SELECT total, c1, c2, total - (c1 + 5 * c2) AS rem FROM base
+            ), counts AS (
+              SELECT c1 + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS k1,
+                     c2 + CASE WHEN rem > 1 THEN 1 ELSE 0 END AS k2,
+                     c2 + CASE WHEN rem > 2 THEN 1 ELSE 0 END AS k3,
+                     c2 + CASE WHEN rem > 3 THEN 1 ELSE 0 END AS k4,
+                     c2 + CASE WHEN rem > 4 THEN 1 ELSE 0 END AS k5,
+                     c2 AS k6
+              FROM alloc
+            ), labeled AS (
+              SELECT o.value,
+                     CASE
+                       WHEN o.pos < c.k1 THEN 'd1'
+                       WHEN o.pos < c.k1 + c.k2 THEN 'd2'
+                       WHEN o.pos < c.k1 + c.k2 + c.k3 THEN 'd3'
+                       WHEN o.pos < c.k1 + c.k2 + c.k3 + c.k4 THEN 'd4'
+                       WHEN o.pos < c.k1 + c.k2 + c.k3 + c.k4 + c.k5 THEN 'd5'
+                       ELSE 'd6'
+                     END AS split_id
+              FROM ordered o CROSS JOIN counts c
+            ), fit AS (
+              SELECT avg(value) AS mu,
+                     CASE WHEN COALESCE(stddev_samp(value), 0) = 0 THEN 1.0
+                          ELSE stddev_samp(value) END AS sigma
+              FROM labeled WHERE split_id IN ('d1', 'd2')
+            )
+            SELECT l.split_id,
+                   round(avg((l.value - f.mu) / f.sigma), 6) AS mean_norm,
+                   round(stddev_samp((l.value - f.mu) / f.sigma), 6) AS std_norm,
+                   count(*) AS n
+            FROM labeled l CROSS JOIN fit f
+            GROUP BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,150 @@
+"""PreprocessorCore facade — the programmatic API (reference EP3,
+app/core/preprocessor_core.py:64-216) re-expressed over one labeled
+distributed DataFrame.
+
+Lifecycle parity:
+  * initialize(config)                 ≈ :32-116 (wiring + config merge)
+  * load_data(path)                    ≈ :327-355 (S2 scan + validation)
+  * process_data()                     ≈ :714-755 — Stage A feature
+    engineering → Stage B split → Stage C normalize (train-only fit,
+    skip-if-loaded) → Stage D postprocessing
+  * export_results(dir, fmt)           ≈ :757-789 (S4/S5/S6 sinks)
+  * get_processing_status/history      ≈ :184-216 (here: stage metrics)
+
+Differences by design (SURVEY §1.5): the "dict of six DataFrames" is a
+single DataFrame with a split_id column; processing history is the
+pipeline's metrics list plus the durable checkpoint manifest.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.normalizer import Normalizer, numeric_columns
+from preprocessor_spark.operators.splitter import DEFAULT_RATIOS, TemporalSplitter
+from preprocessor_spark.params import StageParams, load_params, save_params
+from preprocessor_spark.pipeline import Pipeline
+from preprocessor_spark.sources.io import load_data, write_split_datasets
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "split_ratios": DEFAULT_RATIOS,
+    "time_col": "ts",
+    "tiebreak_cols": [],
+    "normalization_method": "zscore",
+    "normalization_columns": None,
+    "exclude_features": [],
+    "training_datasets": ["d1", "d2"],
+    "min_rows": 1,
+    "output_format": "parquet",
+}
+
+
+@dataclass
+class PreprocessorCore:
+    spark: SparkSession
+    config: dict[str, Any] = field(default_factory=dict)
+    feature_stages: list[Callable[[DataFrame], DataFrame]] = field(
+        default_factory=list
+    )
+    post_stages: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+
+    def __post_init__(self):
+        merged = dict(DEFAULT_CONFIG)
+        merged.update(self.config)
+        self.config = merged
+        self._data: DataFrame | None = None
+        self._labeled: DataFrame | None = None
+        self._norm_params: StageParams | None = None
+        self._pipeline = Pipeline(isolate_failures=True)
+        self._status = "initialized"
+
+    # -- load -------------------------------------------------------------
+    def load(self, path_or_df: str | DataFrame, **kw) -> "PreprocessorCore":
+        df = (
+            path_or_df
+            if isinstance(path_or_df, DataFrame)
+            else load_data(self.spark, path_or_df, **kw)
+        )
+        n = df.count()
+        if n < self.config["min_rows"]:
+            raise ValueError(f"dataset has {n} rows < min_rows")
+        self._data = df
+        self._status = "loaded"
+        return self
+
+    def load_normalization_params(self, path: str) -> "PreprocessorCore":
+        """Pre-loaded params skip the fit (reference :456-466)."""
+        self._norm_params = load_params(path)
+        return self
+
+    # -- process ----------------------------------------------------------
+    def process(self) -> DataFrame:
+        if self._data is None:
+            raise RuntimeError("call load() first")
+        df = self._data
+
+        # Stage A: feature engineering fold (validate row-preservation
+        # contract like feature_engineering_plugin_base.py:227-266)
+        self._pipeline.stages = list(self.feature_stages)
+        df = self._pipeline.run(df)
+
+        # Stage B: six-way split labels
+        splitter = TemporalSplitter(
+            ratios=self.config["split_ratios"],
+            time_col=self.config["time_col"],
+            tiebreak_cols=self.config["tiebreak_cols"],
+        )
+        labeled = splitter.transform(df)
+        self._splitter = splitter
+
+        # Stage C: normalize — fit on training splits only, unless loaded
+        cols = self.config["normalization_columns"] or [
+            c
+            for c in numeric_columns(labeled, self.config["exclude_features"])
+            if c != self.config["time_col"]
+        ]
+        norm = Normalizer(method=self.config["normalization_method"], columns=cols)
+        if self._norm_params is None:
+            train = labeled.filter(
+                F.col("split_id").isin(self.config["training_datasets"])
+            )
+            self._norm_params = norm.fit(train)
+        labeled = norm.transform(labeled, self._norm_params)
+        self._normalizer = norm
+
+        # Stage D: postprocessing fold
+        post = Pipeline(isolate_failures=True, metrics=self._pipeline.metrics)
+        post.stages = list(self.post_stages)
+        labeled = post.run(labeled)
+
+        self._labeled = labeled
+        self._status = "processed"
+        return labeled
+
+    # -- export -----------------------------------------------------------
+    def export(self, out_dir: str, fmt: str | None = None) -> None:
+        if self._labeled is None:
+            raise RuntimeError("call process() first")
+        fmt = fmt or self.config["output_format"]
+        write_split_datasets(self._labeled, os.path.join(out_dir, "splits"), fmt)
+        save_params(os.path.join(out_dir, "norm_params.json"), self._norm_params)
+        save_params(
+            os.path.join(out_dir, "split_params.json"),
+            self._splitter.params(self._labeled),
+        )
+
+    # -- introspection ------------------------------------------------------
+    def get_processing_status(self) -> dict[str, Any]:
+        return {
+            "status": self._status,
+            "stages_run": len(self._pipeline.metrics),
+            "normalization_fitted": self._norm_params is not None,
+        }
+
+    def get_processing_history(self) -> list[dict[str, Any]]:
+        return [vars(m) for m in self._pipeline.metrics]

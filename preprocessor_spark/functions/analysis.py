@@ -1,0 +1,182 @@
+"""Series diagnostics — the dataset_analyzer surface of the reference
+(SURVEY §2.5 W11-W14, §2.6 M8) as distributed operators.
+
+  * lag diffs / returns (dataset_analyzer.py:105) — native window;
+  * autocorrelation at lags 1..k (dataset_analyzer.py:168) — corr of lagged
+    columns, one window pass + one aggregate for ALL lags;
+  * SNR + Shannon-Hartley channel capacity (dataset_analyzer.py:121-156) —
+    scalar math over one aggregate;
+  * FFT spectrum + top-k peaks (dataset_analyzer.py:158-165) — numpy rFFT
+    per series inside applyInPandas (inherently per-series sequential;
+    diagnostic, not pipeline-critical);
+  * mutual-information feature scoring (reference F3 uses sklearn
+    mutual_info_regression on the driver; this container has no sklearn, so
+    the engine implements the binned-histogram MI estimator DISTRIBUTED:
+    quantile-bin X and y, then MI = Σ p(x,y)·log(p(x,y)/(p(x)p(y))) from one
+    groupBy per feature — scales to any table size, no driver collection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def lag_diff(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    series_cols: list[str] | None = None,
+    lag: int = 1,
+) -> DataFrame:
+    """W11: x − lag_k(x) — the delta primitive behind delta-of-delta."""
+    w = Window.partitionBy(*(series_cols or [])).orderBy(time_col)
+    return df.withColumn(f"{value_col}_diff", F.col(value_col) - F.lag(value_col, lag).over(w))
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    series_cols: list[str] | None = None,
+    max_lag: int = 10,
+) -> DataFrame:
+    """W12: corr(x, lag_k(x)) for k = 1..max_lag per series — one window
+    pass builds all lag columns, one aggregate computes every corr."""
+    series_cols = series_cols or []
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    lagged = df.select(
+        *series_cols,
+        value_col,
+        *[F.lag(value_col, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.corr(value_col, f"__l{k}").alias(f"lag_{k}") for k in range(1, max_lag + 1)
+    ]
+    return lagged.groupBy(*series_cols).agg(*aggs) if series_cols else lagged.agg(*aggs)
+
+
+def snr_stats(df: DataFrame, value_col: str, by: list[str] | None = None) -> DataFrame:
+    """M8: SNR = (mean/std)^2 and Shannon-Hartley capacity f·log2(1+snr)
+    with f = 1 sample/period."""
+    g = df.groupBy(*by) if by else df.groupBy()
+    out = g.agg(
+        F.mean(value_col).alias("mu"), F.stddev_samp(value_col).alias("sigma")
+    )
+    snr = (F.col("mu") / F.col("sigma")) ** 2
+    return out.select(
+        *(by or []),
+        F.round(snr, 6).alias("snr"),
+        F.round(F.log2(1 + snr), 6).alias("channel_capacity_bits"),
+    )
+
+
+def fft_top_peaks(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    series_cols: list[str] | None = None,
+    top_k: int = 5,
+) -> DataFrame:
+    """W13: per-series |rFFT| magnitude spectrum (dB), top-k peak
+    frequencies. numpy per series group via applyInPandas."""
+    series_cols = series_cols or []
+    out_schema = T.StructType(
+        [df.schema[c] for c in series_cols]
+        + [
+            T.StructField("peak_rank", T.IntegerType()),
+            T.StructField("freq_index", T.IntegerType()),
+            T.StructField("magnitude_db", T.DoubleType()),
+        ]
+    )
+    vc, tc, sc = value_col, time_col, list(series_cols)
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(tc)
+        x = pdf[vc].to_numpy(np.float64)
+        x = x[~np.isnan(x)]
+        if len(x) < 4:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        mag = np.abs(np.fft.rfft(x - x.mean()))[1:]  # drop DC
+        db = 20 * np.log10(np.maximum(mag, 1e-12))
+        order = np.argsort(-db)[:top_k]
+        rows = {c: [pdf[c].iloc[0]] * len(order) for c in sc}
+        rows["peak_rank"] = np.arange(1, len(order) + 1, dtype=np.int32)
+        rows["freq_index"] = (order + 1).astype(np.int32)
+        rows["magnitude_db"] = db[order]
+        return pd.DataFrame(rows)
+
+    if series_cols:
+        return df.groupBy(*series_cols).applyInPandas(spectrum, out_schema)
+    return (
+        df.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda p: spectrum(p.drop(columns="__g")), out_schema)
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    bins: int = 16,
+) -> DataFrame:
+    """Distributed binned MI estimate per feature vs label (F3 analog).
+
+    Quantile bin edges from one `percentile` aggregate; joint/marginal
+    probabilities from one groupBy per feature (cheap: ≤ bins² rows each).
+    Returns (feature, mi_bits) sorted descending — take the top-N as the
+    selected subset, applied downstream as pure projection (P5).
+    """
+    probs = [i / bins for i in range(1, bins)]
+    edge_aggs = []
+    for c in [*feature_cols, label_col]:
+        edge_aggs.append(
+            F.expr(
+                f"percentile({c}, array({', '.join(str(p) for p in probs)}))"
+            ).alias(f"{c}__edges")
+        )
+    edges = df.agg(*edge_aggs).collect()[0]
+
+    def bin_expr(c: str):
+        # bucket id by quantile edge ladder: bin i ⇔ x ≤ edges[i], else last
+        e = [x for x in (edges[f"{c}__edges"] or []) if x is not None]
+        expr = F.lit(len(e))
+        for i in reversed(range(len(e))):
+            expr = F.when(F.col(c) <= F.lit(e[i]), i).otherwise(expr)
+        return expr
+
+    results = []
+    yb = bin_expr(label_col).alias("__yb")
+    for c in feature_cols:
+        joint = (
+            df.select(bin_expr(c).alias("__xb"), yb)
+            .groupBy("__xb", "__yb")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        total = F.sum("n").over(Window.partitionBy())
+        px = F.sum("n").over(Window.partitionBy("__xb"))
+        py = F.sum("n").over(Window.partitionBy("__yb"))
+        mi = joint.select(
+            (
+                (F.col("n") / total)
+                * F.log2((F.col("n") * total) / (px * py))
+            ).alias("term")
+        ).agg(F.round(F.sum("term"), 6).alias("mi_bits"))
+        results.append(mi.select(F.lit(c).alias("feature"), "mi_bits"))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(F.desc("mi_bits"))
+
+
+def mutual_info_select(
+    df: DataFrame, feature_cols: list[str], label_col: str, top_n: int = 10
+) -> list[str]:
+    """F3: keep the top-N features by MI (reference keeps top-10,
+    app/plugins/plugin_feature_selector_post.py:94-107)."""
+    mi = mutual_information(df, feature_cols, label_col).collect()
+    return [r["feature"] for r in mi[:top_n]]

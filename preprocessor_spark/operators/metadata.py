@@ -1,0 +1,184 @@
+"""Dataset metadata, quality metrics and validation — the DataMetadata /
+quality-report surface of the reference re-expressed as aggregates.
+
+Reference parity (SURVEY §2.4):
+  * A5 null counts / completeness % (app/core/data_handler.py:407-411);
+  * A6 duplicate-row count + % (app/core/data_handler.py:413-415);
+  * A7 describe()-style stats (app/core/data_handler.py:422-425);
+  * A8 IQR outlier counts, 1.5·IQR beyond Q1/Q3 (app/core/data_handler.py:428-435);
+  * A9 text-column stats: nunique, mode, avg length (app/core/data_handler.py:438-447);
+  * A10 per-split size stats (app/core/data_processor.py:419-431);
+  * A11 normalized-output validation: per split mean≈0±0.1, std≈1±0.1
+    (app/core/normalization_handler.py:674-726, tolerances :701-705);
+  * A12 integrity checksum (app/core/data_handler.py:451-474) — here an
+    ORDER-INSENSITIVE distributed fingerprint: bit_xor(xxhash64(struct(*)))
+    so it is stable across partitionings (the driver-side MD5-of-CSV of the
+    reference is order-dependent and single-node by construction).
+
+Everything is one or two aggregate passes; all quality metrics for a table
+come back as a single row (fan-out agg, partial+final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.normalizer import numeric_columns
+
+
+def null_report(df: DataFrame) -> DataFrame:
+    """Per-column null counts + overall completeness (A5)."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_rows")] + [
+        F.sum(F.isnull(c).cast("bigint")).alias(f"nulls_{c}") for c in df.columns
+    ]
+    out = df.agg(*aggs)
+    total_cells = F.col("n_rows") * len(df.columns)
+    total_nulls = sum(F.col(f"nulls_{c}") for c in df.columns)
+    return out.withColumn(
+        "completeness_pct",
+        F.round((1 - total_nulls / F.greatest(total_cells, F.lit(1))) * 100, 6),
+    )
+
+
+def duplicate_row_stats(df: DataFrame) -> DataFrame:
+    """Whole-row duplicate count + percentage (A6)."""
+    per = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("copies"))
+    return per.agg(
+        F.sum("copies").cast("bigint").alias("n_rows"),
+        F.sum(F.col("copies") - 1).cast("bigint").alias("duplicate_rows"),
+        F.round(
+            F.sum(F.col("copies") - 1) * 100.0 / F.sum("copies"), 6
+        ).alias("duplicate_pct"),
+    )
+
+
+def describe_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A7: count/mean/std/min/quartiles/max per numeric column, long format
+    (column, stat, value). Quartiles via exact `percentile` at fit scale;
+    swap to percentile_approx for the streaming/huge-table path."""
+    cols = columns or numeric_columns(df)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).cast("double").alias(f"{c}||count"),
+            F.mean(c).alias(f"{c}||mean"),
+            F.stddev_samp(c).alias(f"{c}||std"),
+            F.min(c).cast("double").alias(f"{c}||min"),
+            F.expr(f"percentile({c}, 0.25)").alias(f"{c}||q1"),
+            F.expr(f"percentile({c}, 0.5)").alias(f"{c}||median"),
+            F.expr(f"percentile({c}, 0.75)").alias(f"{c}||q3"),
+            F.max(c).cast("double").alias(f"{c}||max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = []
+    stats = ["count", "mean", "std", "min", "q1", "median", "q3", "max"]
+    for c in cols:
+        for s in stats:
+            stack_args.append(f"'{c}', '{s}', `{c}||{s}`")
+    n = len(cols) * len(stats)
+    return row.select(
+        F.expr(f"stack({n}, {', '.join(stack_args)}) as (column, stat, value)")
+    )
+
+
+def iqr_outlier_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A8: rows outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] per column."""
+    cols = columns or numeric_columns(df)
+    q = df.agg(
+        *[F.expr(f"percentile({c}, 0.25)").alias(f"{c}__q1") for c in cols],
+        *[F.expr(f"percentile({c}, 0.75)").alias(f"{c}__q3") for c in cols],
+    ).collect()[0]
+    aggs = []
+    for c in cols:
+        q1, q3 = q[f"{c}__q1"], q[f"{c}__q3"]
+        if q1 is None:
+            continue
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        aggs.append(
+            F.sum(
+                ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("bigint")
+            ).alias(f"outliers_{c}")
+        )
+    return df.agg(*aggs)
+
+
+def text_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A9: per text column — distinct count, mode, avg length (long format)."""
+    cols = columns or [c for c, t in df.dtypes if t == "string"]
+    rows = []
+    for c in cols:
+        rows.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.countDistinct(c).alias("n_unique"),
+                F.mode(c).alias("mode_value"),
+                F.round(F.avg(F.length(c)), 6).alias("avg_length"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def split_size_stats(labeled: DataFrame, ratios: dict[str, float]) -> DataFrame:
+    """A10: per-split counts + actual-vs-expected ratio deviation."""
+    total = labeled.count()
+    per = labeled.groupBy("split_id").agg(F.count(F.lit(1)).alias("sample_count"))
+    ratio_map = F.create_map(
+        *[x for k, v in ratios.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return per.select(
+        "split_id",
+        "sample_count",
+        F.round(F.col("sample_count") / total, 6).alias("actual_ratio"),
+        F.round(ratio_map[F.col("split_id")], 6).alias("expected_ratio"),
+        F.round(
+            F.abs(F.col("sample_count") / total - ratio_map[F.col("split_id")]), 6
+        ).alias("deviation"),
+    )
+
+
+def validate_normalization(
+    normed: DataFrame,
+    columns: list[str],
+    by: str = "split_id",
+    mean_tol: float = 0.1,
+    std_tol: float = 0.1,
+) -> DataFrame:
+    """A11: recompute mean/std per feature per split and flag violations of
+    mean≈0±tol, std≈1±tol (reference tolerances
+    app/core/normalization_handler.py:701-705). Training splits are expected
+    to pass; evaluation splits may drift — report, don't fail."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.round(F.mean(c), 6).alias(f"mean_{c}"),
+            F.round(F.stddev_samp(c), 6).alias(f"std_{c}"),
+        ]
+    out = normed.groupBy(by).agg(*aggs)
+    ok = F.lit(True)
+    for c in columns:
+        ok = (
+            ok
+            & (F.abs(F.col(f"mean_{c}")) <= mean_tol)
+            & (F.abs(F.col(f"std_{c}") - 1.0) <= std_tol)
+        )
+    return out.withColumn("within_tolerance", ok)
+
+
+def table_fingerprint(df: DataFrame) -> DataFrame:
+    """A12 integrity checksum, distribution-safe: XOR-fold of per-row
+    xxhash64 over all columns. Order-insensitive ⇒ identical at any
+    partition count / parallelism — this is the engine's cross-run
+    equality invariant hook (also used for token-array equality when the
+    row contains the tokens column)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "bit_xor(xxhash64(struct(" + ", ".join(f"`{c}`" for c in df.columns) + ")))"
+        ).alias("fingerprint"),
+    )

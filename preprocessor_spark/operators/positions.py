@@ -1,0 +1,85 @@
+"""Deterministic distributed row positions.
+
+``grouped_positions`` assigns exact, dense, 0-based positions per group
+under ``ORDER BY order_cols`` without any single-partition window:
+
+  1. derive a deterministic range bucket from the leading order column's
+     VALUE (never from physical partitioning — range-partitioner sampling
+     is not guaranteed stable across plan executions);
+  2. one small aggregate → per-(group, bucket) counts → driver-side offsets
+     (|groups| × |buckets| rows — tiny);
+  3. ``row_number`` windowed by (group, bucket) + broadcast offset.
+
+Both passes are pure functions of the data ⇒ identical results at any
+parallelism (the engine's determinism invariant). This machinery backs the
+exact-count splitter (W6) and the chunked window unbiaser (W1 at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _encode_lead(df: DataFrame, lead: str):
+    dtype = dict(df.dtypes)[lead]
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(lead).cast("timestamp"))
+    if dtype == "date":
+        return F.unix_date(F.col(lead)).cast("double")
+    return F.col(lead).cast("double")
+
+
+def grouped_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    pos_col: str = "__pos",
+    buckets_per_core: int = 4,
+) -> DataFrame:
+    """Dense 0-based positions within each group (empty group_cols = global)."""
+    group_cols = group_cols or []
+    lead = order_cols[0]
+    enc = _encode_lead(df, lead)
+    lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
+    if lo is None:
+        return df.withColumn(pos_col, F.lit(0).cast("long"))
+    n_buckets = max(
+        df.sparkSession.sparkContext.defaultParallelism * buckets_per_core, 8
+    )
+    span = max(float(hi) - float(lo), 1.0)
+    bucket = F.least(
+        F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    with_b = df.withColumn("__bkt", bucket)
+    counts = (
+        with_b.groupBy(*group_cols, "__bkt")
+        .count()
+        .orderBy(*group_cols, "__bkt")
+        .collect()
+    )
+    # running offsets per group, in bucket order
+    offsets: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        offsets[(g, r["__bkt"])] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + r["count"]
+    # broadcast offsets as a map keyed by "group|bucket" string
+    def key_expr():
+        parts = [F.col(c).cast("string") for c in group_cols] + [
+            F.col("__bkt").cast("string")
+        ]
+        return F.concat_ws("|", *parts)
+
+    kv = []
+    for (g, b), off in offsets.items():
+        k = "|".join([*(str(x) for x in g), str(b)])
+        kv += [F.lit(k), F.lit(off)]
+    offset_map = F.create_map(*kv) if kv else F.create_map()
+    w = Window.partitionBy(*group_cols, "__bkt").orderBy(*order_cols)
+    return with_b.withColumn(
+        pos_col,
+        (F.row_number().over(w) - 1 + offset_map[key_expr()]).cast("long"),
+    ).drop("__bkt")

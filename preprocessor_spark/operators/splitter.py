@@ -34,6 +34,17 @@ SPLIT_KEYS = ["d1", "d2", "d3", "d4", "d5", "d6"]
 DEFAULT_RATIOS = {"d1": 0.5, "d2": 0.1, "d3": 0.1, "d4": 0.1, "d5": 0.1, "d6": 0.1}
 
 
+def global_positions(
+    df: DataFrame, order_cols: list[str], pos_col: str = "__pos"
+) -> DataFrame:
+    """Exact 0-based global positions under ``ORDER BY order_cols`` without
+    a single-partition window — see
+    :func:`preprocessor_spark.operators.positions.grouped_positions`."""
+    from preprocessor_spark.operators.positions import grouped_positions
+
+    return grouped_positions(df, order_cols, group_cols=[], pos_col=pos_col)
+
+
 def split_counts(total: int, ratios: dict[str, float]) -> dict[str, int]:
     """Exact per-split counts — bit-identical to the reference's
     _calculate_split_indices (app/core/data_processor.py:313-350):
@@ -80,24 +91,33 @@ class TemporalSplitter:
         self.seed = seed
 
     def transform(self, df: DataFrame) -> DataFrame:
-        """Label every row with split_id ∈ d1..d6 (exact reference counts)."""
-        total = df.count()
-        bounds = split_boundaries(total, self.ratios)
+        """Label every row with split_id ∈ d1..d6 (exact reference counts).
+
+        Global positions come from :func:`global_positions` —
+        range-partitioned sort + per-partition offsets — NOT a
+        single-partition ``row_number() OVER (ORDER BY …)`` window, so the
+        labeling stage scales with the cluster instead of serializing on
+        one task (SURVEY §7 risk 2)."""
         if self.shuffle:
-            # W8: seeded permutation. Hash-based ordering (not F.rand) so the
-            # assignment is stable across partition counts (SURVEY §7 risk 5).
-            order = [
-                F.xxhash64(F.lit(self.seed or 0), F.struct(*df.columns)),
-                *df.columns,
-            ]
-            w = Window.orderBy(*order)
+            # W8: seeded permutation via hash ordering (not F.rand) so the
+            # assignment is stable across partition counts (SURVEY §7 risk 5)
+            hashed = df.withColumn(
+                "__ord", F.xxhash64(F.lit(self.seed or 0), F.struct(*df.columns))
+            )
+            positioned = global_positions(hashed, ["__ord", *df.columns]).drop(
+                "__ord"
+            )
         else:
-            w = Window.orderBy(self.time_col, *self.tiebreak_cols)
-        pos = F.row_number().over(w) - 1  # 0-based like iloc
+            positioned = global_positions(
+                df, [self.time_col, *self.tiebreak_cols]
+            )
+        total = positioned.count()
+        bounds = split_boundaries(total, self.ratios)
+        pos = F.col("__pos")
         expr = F.lit(None).cast("string")
         for k, start, end in reversed(bounds):
             expr = F.when((pos >= start) & (pos < end), F.lit(k)).otherwise(expr)
-        return df.withColumn("split_id", expr)
+        return positioned.withColumn("split_id", expr).drop("__pos")
 
     def boundaries(self, labeled: DataFrame) -> DataFrame:
         """W7 temporal-boundaries metadata: per split start/end time + count

@@ -40,6 +40,7 @@ class Unbiaser:
         series_cols: list[str] | None = None,
         value_cols: list[str] | None = None,
         tiebreak_cols: list[str] | None = None,
+        chunk_rows: int | None = None,
     ):
         if method not in {"ma", "ema"}:
             raise ValueError(f"unknown unbias method: {method}")
@@ -50,6 +51,9 @@ class Unbiaser:
         self.series_cols = series_cols or []
         self.value_cols = value_cols
         self.tiebreak_cols = tiebreak_cols or []
+        # MA scale path: split each series into chunk_rows-row chunks with
+        # w-1 overlap so window parallelism is series x chunks (exact)
+        self.chunk_rows = chunk_rows
 
     def _values(self, df: DataFrame) -> list[str]:
         if self.value_cols:
@@ -63,6 +67,8 @@ class Unbiaser:
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.method == "ma":
+            if self.chunk_rows:
+                return self._ma_chunked(df)
             return self._ma(df)
         return self._ema(df)
 
@@ -76,6 +82,48 @@ class Unbiaser:
         for c in self._values(df):
             out = out.withColumn(c, F.col(c) - F.avg(c).over(w))
         return out
+
+    def _ma_chunked(self, df: DataFrame) -> DataFrame:
+        """Scale path for W1: identical output to :meth:`_ma`, but the window
+        runs per (series, chunk) so parallelism = series × chunks instead of
+        being capped at |series| (a per-source window serializes each source
+        into one task — the bottleneck at corpus scale).
+
+        Method: dense per-series positions (grouped_positions), chunk =
+        pos // chunk_rows; the last w−1 rows of every chunk are ALSO fed to
+        the next chunk (flagged), so each chunk head sees its true trailing
+        window; flagged rows are dropped after the window. Dense positions
+        make this exact across time gaps — time-based chunking would break
+        the row-window semantics at gaps."""
+        from preprocessor_spark.operators.positions import grouped_positions
+
+        w_size = self.window_size
+        vals = self._values(df)
+        pos = grouped_positions(
+            df,
+            [self.time_col, *self.tiebreak_cols],
+            group_cols=self.series_cols,
+            pos_col="__pos",
+        )
+        chunk = (F.col("__pos") / self.chunk_rows).cast("long")
+        cur = pos.withColumn("__chunk", chunk).withColumn("__aug", F.lit(False))
+        tails = (
+            cur.filter(
+                F.col("__pos") % self.chunk_rows >= self.chunk_rows - (w_size - 1)
+            )
+            .withColumn("__chunk", F.col("__chunk") + 1)
+            .withColumn("__aug", F.lit(True))
+        )
+        unioned = cur.unionByName(tails)
+        w = (
+            Window.partitionBy(*self.series_cols, "__chunk")
+            .orderBy("__pos")
+            .rowsBetween(-(w_size - 1), 0)
+        )
+        out = unioned
+        for c in vals:
+            out = out.withColumn(c, F.col(c) - F.avg(c).over(w))
+        return out.filter(~F.col("__aug")).drop("__pos", "__chunk", "__aug")
 
     def _ema(self, df: DataFrame) -> DataFrame:
         vals = self._values(df)

@@ -67,6 +67,52 @@ class Manifest:
             return [json.loads(line) for line in f]
 
 
+def run_resumable_bulk(
+    spark: SparkSession,
+    df: DataFrame,
+    stage: str,
+    partition_col: str,
+    out_path: str,
+    manifest: Manifest,
+) -> list[str]:
+    """Bulk variant of :func:`run_resumable`: all pending partitions are
+    written in ONE distributed job (``partitionBy`` + dynamic partition
+    overwrite), then marked complete with counts from a single aggregate.
+
+    Same resume contract — completed partitions are never recomputed, a
+    crash before the manifest append leaves them unmarked and they are
+    rewritten idempotently on rerun (dynamic overwrite replaces only the
+    partitions present in the pending set). Unlike the sequential variant
+    the upstream plan executes once, not once per partition — this is the
+    production path; the sequential variant remains for fine-grained
+    backfills of individual partitions.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = manifest.completed(stage)
+    values = [
+        r[0]
+        for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+    ]
+    pending = [v for v in values if str(v) not in done]
+    if not pending:
+        return []
+    t0 = time.perf_counter()
+    sub = df.filter(F.col(partition_col).isin(pending))
+    sub.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
+    counts = {
+        r[0]: r[1]
+        for r in spark.read.parquet(out_path)
+        .filter(F.col(partition_col).isin(pending))
+        .groupBy(partition_col)
+        .count()
+        .collect()
+    }
+    dt = round(time.perf_counter() - t0, 3)
+    for v in pending:
+        manifest.mark(stage, str(v), rows=int(counts.get(v, 0)), seconds=dt)
+    return [str(v) for v in pending]
+
+
 def run_resumable(
     spark: SparkSession,
     df: DataFrame,

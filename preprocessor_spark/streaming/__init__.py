@@ -1,0 +1,5 @@
+from preprocessor_spark.streaming.rollup_stream import (  # noqa: F401
+    stream_corpus_source,
+    stream_tier,
+    stream_tier_to_sink,
+)

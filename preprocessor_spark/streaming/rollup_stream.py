@@ -1,0 +1,87 @@
+"""Streaming ingest for the rollup tree — Structured Streaming continuous
+aggregates.
+
+The reference is strictly batch (SURVEY §2.9); the target engine's
+continuous aggregates run as incremental batch over partition manifests.
+This module is the OPTIONAL streaming ingest path: the same
+``groupBy(source, window(ts, tier))`` aggregate under a watermark, so late
+sequences update their bucket until the watermark closes it. The aggregate
+expressions are shared with the batch tree (tiers.py) — one definition,
+two runners, identical rolled-up points once the stream drains
+(verified in tests via trigger(availableNow=True)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from preprocessor_spark.rollup.tiers import TierSpec
+
+
+def stream_corpus_source(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over a token_sequences parquet directory (each new
+    file = one micro-batch of sequences). At deployment this is the Kafka /
+    Iceberg-incremental source; the aggregate below is source-agnostic."""
+    reader = spark.readStream
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return reader.schema(schema).parquet(path)
+
+
+def stream_tier(
+    stream: DataFrame,
+    tier: TierSpec,
+    value_col: str = "n_tok",
+    series_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Windowed continuous aggregate with late-data watermark — identical
+    algebraic stats to RollupTree.base_aggregate so tier outputs are
+    interchangeable between the batch and streaming runners."""
+    series_cols = series_cols if series_cols is not None else ["source"]
+    v = F.col(value_col).cast("double")
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(
+            *series_cols,
+            F.window(time_col, tier.duration)["start"].alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(v).alias("sum_v"),
+            F.sum(v * v).alias("sum_sq"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+    )
+
+
+def stream_tier_to_sink(
+    tier_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Drain the streaming tier to a parquet sink. availableNow processes
+    everything currently in the source then stops — the incremental-batch
+    execution mode (and what tests use); continuous deployments drop the
+    flag. Complete-mode parquet isn't supported by Spark, so the sink uses
+    foreachBatch overwrite of the aggregate snapshot — at scale this is an
+    Iceberg MERGE keyed on (series, bucket_start)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    writer = (
+        tier_df.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

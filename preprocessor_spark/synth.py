@@ -24,10 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EPOCH_START = "2020-01-01 00:00:00"
-PERIOD_MINUTES = 1
+ROWS_PER_MINUTE = 60  # corpus density: sequences arriving per minute, all sources
 N_SOURCES = 8
 VOCAB_SIZE = 50_000
-GAP_MODULUS = 37  # ids where xxhash64(id,'gap') % 37 == 0 are dropped → time gaps
+GAP_MODULUS = 37  # (minute, source) cells hashing to 0 mod 37 are dropped → gaps
 
 
 def token_sequences(
@@ -36,16 +36,20 @@ def token_sequences(
     *,
     with_gaps: bool = True,
     seed: int = 42,
+    rows_per_minute: int = ROWS_PER_MINUTE,
 ) -> DataFrame:
     """Build the deterministic token_sequences table with ``n_rows`` candidate
-    rows (slightly fewer after gap-drop when ``with_gaps``).
+    rows (slightly fewer after gap-punching when ``with_gaps``).
 
     Token values and lengths are stable functions of (seed, doc index):
-      * source: skewed categorical — hash bucket 0..9, buckets >=7 fold to s0.
-      * n_tok:  per-source length regime (distinct mean per source) in
-        [4, 4 + 16*(src+1)] — deterministic, no RNG state.
-      * tokens: element j = xxhash64(seed, id, j) mod VOCAB_SIZE, as int32.
-      * ts:     EPOCH + id * PERIOD_MINUTES minutes (gaps punched by hash).
+      * source: skewed categorical — hash bucket 0..9, buckets >=7 fold to s0;
+      * n_tok:  per-source length regime (distinct spread per source) in
+        [4, 4 + 16*(src+1)) — deterministic, no RNG state;
+      * tokens: element j = xxhash64(seed, id, j) mod VOCAB_SIZE, as int32;
+      * ts:     EPOCH + (id / rows_per_minute) minutes — many sequences per
+        (source, minute) so rollup tiers genuinely reduce;
+      * gaps:   whole (minute, source) cells punched by hash → every tier
+        has missing buckets for gap-fill to repair.
     """
     df = spark.range(n_rows).withColumnRenamed("id", "_i")
     h = lambda *cols: F.abs(F.xxhash64(F.lit(seed), *cols))  # noqa: E731
@@ -54,29 +58,34 @@ def token_sequences(
     src_idx = F.when(src_bucket >= 7, F.lit(0)).otherwise(
         (src_bucket % N_SOURCES).cast("int")
     )
-    df = df.withColumn("source", F.concat(F.lit("s"), src_idx.cast("string")))
-    df = df.withColumn(
-        "n_tok",
-        (
-            4
-            + (h(F.col("_i"), F.lit("len")) % (16 * (src_idx.cast("long") + 1)))
-        ).cast("int"),
+    minute = (F.col("_i") / rows_per_minute).cast("long")
+    df = (
+        df.withColumn("source", F.concat(F.lit("s"), src_idx.cast("string")))
+        .withColumn("__minute", minute)
+        .withColumn(
+            "n_tok",
+            (
+                4 + (h(F.col("_i"), F.lit("len")) % (16 * (src_idx.cast("long") + 1)))
+            ).cast("int"),
+        )
+        .withColumn(
+            "tokens",
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok")),
+                lambda j: (h(F.col("_i"), j) % VOCAB_SIZE).cast("int"),
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit(EPOCH_START))
+            + F.make_interval(mins=F.col("__minute").cast("int")),
+        )
+        .withColumn("doc_id", F.format_string("doc-%012d", F.col("_i")))
     )
-    df = df.withColumn(
-        "tokens",
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tok")),
-            lambda j: (h(F.col("_i"), j) % VOCAB_SIZE).cast("int"),
-        ),
-    )
-    df = df.withColumn(
-        "ts",
-        F.to_timestamp(F.lit(EPOCH_START))
-        + F.make_interval(mins=(F.col("_i") * PERIOD_MINUTES).cast("int")),
-    )
-    df = df.withColumn("doc_id", F.format_string("doc-%012d", F.col("_i")))
     if with_gaps:
-        df = df.filter(h(F.col("_i"), F.lit("gap")) % GAP_MODULUS != 0)
+        df = df.filter(
+            h(F.col("__minute"), src_idx, F.lit("gap")) % GAP_MODULUS != 0
+        )
     return df.select("doc_id", "tokens", "n_tok", "source", "ts")
 
 

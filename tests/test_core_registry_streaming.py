@@ -1,0 +1,135 @@
+"""PreprocessorCore facade (EP3 parity), stage registry (§2.10), and the
+streaming rollup path (batch/stream tier equivalence)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from preprocessor_spark.core import PreprocessorCore
+from preprocessor_spark.registry import StageRegistry
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def raw_pdf():
+    n = 600
+    return pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=n, freq="min"),
+            "open": RNG.normal(100, 5, n),
+            "close": RNG.normal(100, 5, n),
+            "label": [f"r{i}" for i in range(n)],
+        }
+    )
+
+
+def test_core_end_to_end(spark, raw_pdf, tmp_path):
+    core = PreprocessorCore(
+        spark,
+        config={"normalization_columns": ["open", "close"], "tiebreak_cols": ["label"]},
+        feature_stages=[
+            lambda df: df.withColumn("spread", F.col("close") - F.col("open"))
+        ],
+        post_stages=[lambda df: df.withColumn("quality_flag", F.lit(1))],
+    )
+    out = core.load(spark.createDataFrame(raw_pdf)).process()
+    assert out.count() == 600
+    assert {"split_id", "spread", "quality_flag"} <= set(out.columns)
+    # train splits normalized: mean≈0 on d1+d2
+    train = out.filter(F.col("split_id").isin("d1", "d2"))
+    mu = train.agg(F.mean("open")).collect()[0][0]
+    assert abs(mu) < 0.1
+    core.export(str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "splits"))
+    assert back.count() == 600
+    status = core.get_processing_status()
+    assert status["status"] == "processed" and status["normalization_fitted"]
+    assert len(core.get_processing_history()) == 2  # one FE + one PP stage
+
+
+def test_core_reuses_loaded_params(spark, raw_pdf, tmp_path):
+    core1 = PreprocessorCore(spark, config={"normalization_columns": ["open"]})
+    core1.load(spark.createDataFrame(raw_pdf)).process()
+    core1.export(str(tmp_path))
+    # second run with persisted params: fit skipped (reference :456-466)
+    core2 = PreprocessorCore(spark, config={"normalization_columns": ["open"]})
+    core2.load_normalization_params(str(tmp_path / "norm_params.json"))
+    core2.load(spark.createDataFrame(raw_pdf)).process()
+    assert (
+        core2._norm_params.params["per_column"]
+        == core1._norm_params.params["per_column"]
+    )
+
+
+def test_core_failure_isolation(spark, raw_pdf):
+    def bad_stage(df):
+        raise RuntimeError("boom")
+
+    core = PreprocessorCore(
+        spark,
+        config={"normalization_columns": ["open"]},
+        feature_stages=[bad_stage],
+    )
+    out = core.load(spark.createDataFrame(raw_pdf)).process()
+    assert out.count() == 600  # bad stage skipped, pipeline continued
+    hist = core.get_processing_history()
+    assert any(m["error"] for m in hist)
+
+
+def test_registry_topological_order_and_cycles():
+    reg = StageRegistry()
+    reg.register("c", lambda df: df, depends_on=["b"])
+    reg.register("b", lambda df: df, depends_on=["a"])
+    reg.register("a", lambda df: df)
+    reg.register("z", lambda df: df)
+    order = [s.name for s in reg.load_order(["c", "z"])]
+    assert order.index("a") < order.index("b") < order.index("c")
+    assert "z" in order
+    with pytest.raises(ValueError):
+        reg.register("c", lambda df: df)  # duplicate
+    reg2 = StageRegistry()
+    reg2.register("x", lambda df: df, depends_on=["y"])
+    reg2.register("y", lambda df: df, depends_on=["x"])
+    with pytest.raises(ValueError, match="cycle"):
+        reg2.load_order()
+
+
+def test_streaming_tier_equals_batch_tier(spark, tmp_path):
+    from preprocessor_spark.rollup.tiers import RollupTree, TierSpec
+    from preprocessor_spark.streaming import (
+        stream_corpus_source,
+        stream_tier,
+        stream_tier_to_sink,
+    )
+    from preprocessor_spark.synth import token_sequences
+
+    corpus_path = str(tmp_path / "corpus")
+    token_sequences(spark, 20000).write.parquet(corpus_path)
+
+    tier = TierSpec("1h", "1 hour")
+    stream = stream_corpus_source(spark, corpus_path)
+    assert stream.isStreaming
+    agg = stream_tier(stream, tier, value_col="n_tok", series_cols=["source"])
+    q = stream_tier_to_sink(
+        agg, str(tmp_path / "tier_out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "tier_out"))
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        RollupTree(value_col="n_tok")
+        .base_aggregate(spark.read.parquet(corpus_path), tier)
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    assert (got["n_points"].values == batch["n_points"].values).all()
+    assert np.allclose(got["sum_v"].values, batch["sum_v"].values)

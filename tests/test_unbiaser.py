@@ -4,6 +4,7 @@ app/plugins/plugin_unbiaser.py:89-129)."""
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from preprocessor_spark.operators.unbiaser import Unbiaser
@@ -80,3 +81,37 @@ def test_ema_bitexact_vs_pandas(spark, series_pdf):
         got = out[out["source"] == src]["v"]
         # bit-exact: same pandas ewm kernel runs inside applyInPandas
         assert np.array_equal(got.values, expected.values)
+
+
+def test_ma_chunked_equals_plain(spark):
+    """Scale-path chunked MA must be bit-identical to the plain window,
+    including across time gaps (dense positional chunking)."""
+    import numpy as np
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 20000).withColumn(
+        "v", F.col("n_tok").cast("double")
+    )
+    kw = dict(
+        method="ma",
+        window_size=5,
+        series_cols=["source"],
+        value_cols=["v"],
+        tiebreak_cols=["doc_id"],
+    )
+    plain = (
+        Unbiaser(**kw)
+        .transform(corpus)
+        .select("doc_id", "v")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    chunked = (
+        Unbiaser(**kw, chunk_rows=500)
+        .transform(corpus)
+        .select("doc_id", "v")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert len(plain) == len(chunked)
+    assert np.array_equal(plain["v"].values, chunked["v"].values)
