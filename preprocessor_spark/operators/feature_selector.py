@@ -105,6 +105,70 @@ class FeatureSelector:
         return out
 
 
+def boruta_select(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iterations: int = 5,
+    seed: int = 1,
+    max_depth: int = 5,
+    num_trees: int = 50,
+) -> list[str]:
+    """F4 Boruta-style all-relevant selection, fully distributed (the
+    reference drives sklearn BorutaPy on the driver,
+    app/plugins/plugin_feature_selector_post.py:110-126; this container has
+    no sklearn/boruta, and driver-side fitting wouldn't survive corpus
+    scale anyway).
+
+    Boruta shadow scheme on pyspark.ml: each iteration appends a shadow
+    copy of the feature block taken from a pseudo-random OTHER row
+    (deterministic hash-order positions + coprime rotation — distribution
+    preserved, feature–label pairing broken), fits a
+    RandomForestRegressor, and counts a HIT for features whose importance
+    exceeds the best shadow importance. Features with hits in a majority of
+    iterations are confirmed. Output is a column list — applied downstream
+    as pure projection (SURVEY §2.7 key insight)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    from preprocessor_spark.operators.positions import grouped_positions
+
+    clean = df.na.drop(subset=[*feature_cols, label_col]).select(
+        *feature_cols, label_col
+    )
+    n_rows = clean.count()
+    hits = {c: 0 for c in feature_cols}
+    for it in range(n_iterations):
+        hashed = clean.withColumn(
+            "__h", F.xxhash64(F.lit(seed + it), F.struct(*clean.columns))
+        )
+        posed = grouped_positions(hashed, ["__h"], pos_col="__pos").drop("__h")
+        shift = (n_rows // 2) | 1  # odd → walks the whole cycle for even n
+        donor = posed.select(
+            ((F.col("__pos") + shift) % n_rows).alias("__pos"),
+            *[F.col(c).alias(f"__sh_{c}") for c in feature_cols],
+        )
+        shadow = posed.join(donor, "__pos").drop("__pos")
+        all_cols = feature_cols + [f"__sh_{c}" for c in feature_cols]
+        vec = VectorAssembler(inputCols=all_cols, outputCol="__f")
+        rf = RandomForestRegressor(
+            featuresCol="__f",
+            labelCol=label_col,
+            maxDepth=max_depth,
+            numTrees=num_trees,
+            seed=seed + it,
+        )
+        model = rf.fit(vec.transform(shadow))
+        imp = model.featureImportances.toArray()
+        n = len(feature_cols)
+        best_shadow = max(imp[n:]) if n < len(imp) else 0.0
+        for i, c in enumerate(feature_cols):
+            if imp[i] > best_shadow:
+                hits[c] += 1
+    threshold = n_iterations / 2
+    return [c for c in feature_cols if hits[c] > threshold]
+
+
 def lasso_select(
     df: DataFrame,
     feature_cols: list[str],

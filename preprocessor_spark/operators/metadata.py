@@ -170,6 +170,19 @@ def validate_normalization(
     return out.withColumn("within_tolerance", ok)
 
 
+def row_quality_flag(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """M7 per-row quality flag: 1 iff no value column is null (reference
+    tests/acceptance_tests/test_acceptance_plugins.py:102)."""
+    cols = columns or df.columns
+    any_null = None
+    for c in cols:
+        expr = F.isnull(c)
+        any_null = expr if any_null is None else (any_null | expr)
+    return df.withColumn(
+        "quality_flag", F.when(any_null, 0).otherwise(1).cast("int")
+    )
+
+
 def table_fingerprint(df: DataFrame) -> DataFrame:
     """A12 integrity checksum, distribution-safe: XOR-fold of per-row
     xxhash64 over all columns. Order-insensitive ⇒ identical at any

@@ -123,6 +123,22 @@ class Normalizer:
             out = out.withColumn(c, expr.cast("double"))
         return out
 
+    @staticmethod
+    def pip_mae_diagnostics(params: StageParams, pips: float = 10.0) -> dict:
+        """M5 pip-scale error diagnostics (reference
+        app/plugins/plugin_normalizer.py:75-120): what a ``pips``·1e-4 price
+        error maps to in normalized units, per feature. Driver-side scalar
+        math on the fitted params."""
+        out = {}
+        for c, s in params.params["per_column"].items():
+            if params.method == "zscore":
+                out[c] = pips * 1e-4 / s["std"]
+            else:
+                rng = s["max"] - s["min"]
+                lo, hi = params.params["feature_range"]
+                out[c] = pips * 1e-4 * (hi - lo) / rng if rng else None
+        return out
+
     def inverse_transform(self, df: DataFrame, params: StageParams) -> DataFrame:
         """Denormalize (reference app/core/normalization_handler.py:595-618)."""
         p = params.params

@@ -59,27 +59,26 @@ def grouped_positions(
         .orderBy(*group_cols, "__bkt")
         .collect()
     )
-    # running offsets per group, in bucket order
-    offsets: dict[tuple, int] = {}
+    # running offsets per group, in bucket order — shipped back as a tiny
+    # broadcast-joined DataFrame (a giant literal create_map would be
+    # re-evaluated per row and its size grows with parallelism)
     acc: dict[tuple, int] = {}
+    rows = []
     for r in counts:
         g = tuple(r[c] for c in group_cols)
-        offsets[(g, r["__bkt"])] = acc.get(g, 0)
+        rows.append((*g, r["__bkt"], acc.get(g, 0)))
         acc[g] = acc.get(g, 0) + r["count"]
-    # broadcast offsets as a map keyed by "group|bucket" string
-    def key_expr():
-        parts = [F.col(c).cast("string") for c in group_cols] + [
-            F.col("__bkt").cast("string")
-        ]
-        return F.concat_ws("|", *parts)
-
-    kv = []
-    for (g, b), off in offsets.items():
-        k = "|".join([*(str(x) for x in g), str(b)])
-        kv += [F.lit(k), F.lit(off)]
-    offset_map = F.create_map(*kv) if kv else F.create_map()
+    spark = df.sparkSession
+    off_schema = (
+        df.select(*group_cols, bucket.alias("__bkt"))
+        .schema.add("__off", "long")
+    )
+    offsets_df = spark.createDataFrame(rows, off_schema)
     w = Window.partitionBy(*group_cols, "__bkt").orderBy(*order_cols)
-    return with_b.withColumn(
-        pos_col,
-        (F.row_number().over(w) - 1 + offset_map[key_expr()]).cast("long"),
-    ).drop("__bkt")
+    return (
+        with_b.join(F.broadcast(offsets_df), [*group_cols, "__bkt"])
+        .withColumn(
+            pos_col, (F.row_number().over(w) - 1 + F.col("__off")).cast("long")
+        )
+        .drop("__bkt", "__off")
+    )

@@ -140,6 +140,32 @@ class TemporalSplitter:
             params={"ratios": self.ratios, "boundaries": rows},
         )
 
+    @classmethod
+    def three_way(
+        cls,
+        d1_proportion: float = 0.2,
+        d2_proportion: float = 0.6,
+        time_col: str = "ts",
+        tiebreak_cols: list[str] | None = None,
+    ) -> "TemporalSplitter":
+        """W10 default-plugin three-way split (reference
+        app/plugins/plugin_default.py:120-127): positional slices at
+        d1/d2 proportions; remaining mass goes to d3, the other three
+        splits get ratio 0 (and therefore 0 rows — same machinery)."""
+        d3 = 1.0 - d1_proportion - d2_proportion
+        return cls(
+            ratios={
+                "d1": d1_proportion,
+                "d2": d2_proportion,
+                "d3": d3,
+                "d4": 0.0,
+                "d5": 0.0,
+                "d6": 0.0,
+            },
+            time_col=time_col,
+            tiebreak_cols=tiebreak_cols,
+        )
+
     @staticmethod
     def split_by_time_boundaries(
         df: DataFrame, time_col: str, boundaries: dict[str, dict]

@@ -67,3 +67,14 @@ class Trimmer:
         """Scale-path row trim: a time-range predicate that Catalyst pushes to
         the scan and prunes time partitions with (SURVEY §2.2 P3)."""
         return df.filter(~((F.col(time_col) >= start) & (F.col(time_col) < end)))
+
+
+def require_columns(df: DataFrame, order: list[str], strict: bool = True) -> DataFrame:
+    """P4 column reorder + required-column check (reference
+    app/plugins/plugin_default.py:107-117): reorder to ``order``, raise on
+    missing; non-strict appends the remaining columns after the ordered ones."""
+    missing = [c for c in order if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing required columns: {missing}")
+    rest = [] if strict else [c for c in df.columns if c not in order]
+    return df.select(*order, *rest)

@@ -93,11 +93,16 @@ def main(argv: list[str] | None = None) -> dict:
     )
     prepared = unb.transform(normed)
 
-    # -- rollup tree with salted tier-0, gap-fill, compression -----------
-    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok")
+    # -- rollup tree with salted tier-0, gap-fill, compression ------------
+    # the rolled-up series is the PREPROCESSED one (z-scored + MA-unbiased
+    # token length) — the whole point of the pipeline; salting hashes only
+    # doc_id so Catalyst prunes the token arrays out of every shuffle
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok_z")
     tier_metrics = {}
     prev_rows = n_rows
-    cur = tree.salted_aggregate(prepared, DEFAULT_TIERS[0], args.salt_buckets)
+    cur = tree.salted_aggregate(
+        prepared, DEFAULT_TIERS[0], args.salt_buckets, salt_cols=["doc_id"]
+    )
     for i, tier in enumerate(DEFAULT_TIERS):
         if i > 0:
             cur = tree.reaggregate(cur, tier)

@@ -132,14 +132,24 @@ class RollupTree:
         return joined.withColumn("n_points", F.coalesce("n_points", F.lit(0)))
 
     def salted_aggregate(
-        self, df: DataFrame, tier: TierSpec, salt_buckets: int = 16
+        self,
+        df: DataFrame,
+        tier: TierSpec,
+        salt_buckets: int = 16,
+        salt_cols: list[str] | None = None,
     ) -> DataFrame:
         """Two-phase skew-safe tier-0 aggregate: partial agg on
-        (series, bucket, salt=xxhash64(doc_id)%B) → final fold without salt.
-        Identical result to base_aggregate; bounds any single (series,
-        bucket) hot key to B parallel partials (north rule skew handling)."""
+        (series, bucket, salt) → final fold without salt. Identical result
+        to base_aggregate; bounds any single (series, bucket) hot key to B
+        parallel partials (north rule skew handling).
+
+        ``salt_cols`` names the columns hashed into the salt (an id column
+        like doc_id). Default hashes every column — correct but it forces
+        ALL columns (token arrays included) through the shuffle and defeats
+        column pruning; always pass an id column in real jobs."""
         v = F.col(self.value_col).cast("double")
-        salt = (F.abs(F.xxhash64(*df.columns)) % salt_buckets).alias("__salt")
+        salt_src = salt_cols if salt_cols else df.columns
+        salt = (F.abs(F.xxhash64(*salt_src)) % salt_buckets).alias("__salt")
         partial = (
             df.groupBy(
                 *self.series_cols,

@@ -19,13 +19,23 @@ _DEFAULT_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: keep row groups aligned with partition sizing at scale.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
+
+
+def _shuffle_partitions(master: str) -> str:
+    """Initial shuffle partitions scale with cores (AQE coalesces down):
+    a flat 32 gives local[32] one partition per core — any skew (the corpus
+    has a 30% hot source) leaves cores idle behind stragglers."""
+    import re
+
+    m = re.search(r"local\[(\d+)\]", master or "")
+    cores = int(m.group(1)) if m else 32
+    return str(max(64, cores * 4))
 
 
 def get_spark(
@@ -43,6 +53,9 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", _shuffle_partitions(master)
+    )
     for k, v in _DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     if extra_conf:

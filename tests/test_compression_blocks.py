@@ -16,7 +16,9 @@ from preprocessor_spark.synth import token_sequences
 
 @pytest.fixture(scope="module")
 def tier_1h(spark):
-    corpus = token_sequences(spark, 8000)
+    # rows_per_minute=2 → ~67h of data → enough 1h buckets per source that
+    # codec headers amortize (compression needs realistic series length)
+    corpus = token_sequences(spark, 8000, rows_per_minute=2)
     tree = RollupTree(value_col="n_tok")
     return tree.base_aggregate(corpus, TierSpec("1h", "1 hour")).cache()
 

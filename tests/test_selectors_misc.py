@@ -1,0 +1,120 @@
+"""Feature selectors (P5/F1/F4/lag-corr), P4 column contract, M5/M7 utils,
+W10 three-way split."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.feature_selector import (
+    FeatureSelector,
+    boruta_select,
+    lasso_select,
+)
+from preprocessor_spark.operators.splitter import TemporalSplitter
+from preprocessor_spark.operators.trimmer import Trimmer, require_columns
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def supervised_pdf():
+    n = 1500
+    x1 = RNG.normal(0, 1, n)
+    x2 = RNG.normal(0, 1, n)
+    noise = RNG.normal(0, 1, n)
+    y = 3.0 * x1 + 0.5 * x2 + RNG.normal(0, 0.1, n)
+    return pd.DataFrame({"x1": x1, "x2": x2, "noise": noise, "y": y})
+
+
+def test_select_multi_and_params_roundtrip(spark, supervised_pdf, tmp_path):
+    from preprocessor_spark.params import load_params, save_params
+
+    df = spark.createDataFrame(supervised_pdf)
+    fs = FeatureSelector(method="select_multi", names=["x1", "y"], keep_cols=[])
+    params = fs.fit(df)
+    save_params(str(tmp_path / "sel.json"), params)
+    out = fs.transform(df, load_params(str(tmp_path / "sel.json")))
+    assert out.columns == ["x1", "y"]
+
+
+def test_lasso_select_finds_informative(spark, supervised_pdf):
+    df = spark.createDataFrame(supervised_pdf)
+    sel = lasso_select(df, ["x1", "x2", "noise"], "y", alpha=0.05)
+    assert "x1" in sel
+    assert "noise" not in sel
+
+
+def test_boruta_select_rejects_noise(spark, supervised_pdf):
+    df = spark.createDataFrame(supervised_pdf)
+    sel = boruta_select(
+        df, ["x1", "x2", "noise"], "y", n_iterations=3, num_trees=20
+    )
+    assert "x1" in sel
+    assert "noise" not in sel
+
+
+def test_lag_corr_screen(spark):
+    n = 400
+    ts = pd.date_range("2020-01-01", periods=n, freq="h")
+    trending = np.cumsum(RNG.normal(0, 1, n))  # strongly autocorrelated
+    white = RNG.normal(0, 1, n)  # ~no autocorrelation
+    pdf = pd.DataFrame({"ts": ts, "trending": trending, "white": white})
+    df = spark.createDataFrame(pdf)
+    fs = FeatureSelector(method="lag_corr", keep_cols=["ts"], lag_corr_threshold=0.5)
+    params = fs.fit(df)
+    assert "trending" in params.params["selected_features"]
+    assert "white" not in params.params["selected_features"]
+
+
+def test_require_columns(spark):
+    df = spark.createDataFrame(pd.DataFrame({"b": [1], "a": [2], "c": [3]}))
+    out = require_columns(df, ["a", "b"], strict=False)
+    assert out.columns == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="missing"):
+        require_columns(df, ["a", "zzz"])
+
+
+def test_trimmer_positional_and_columns(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=10, freq="min"), "v": range(10), "x": 1}
+    )
+    df = spark.createDataFrame(pdf)
+    t = Trimmer(columns=[2], rows=[0, 5], order_col="ts")
+    out = t.transform(df).toPandas().sort_values("ts")
+    assert "x" not in out.columns
+    assert list(out["v"]) == [1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_pip_mae_diagnostics(spark):
+    from preprocessor_spark.operators.normalizer import Normalizer
+
+    pdf = pd.DataFrame({"close": RNG.normal(1.1, 0.01, 500)})
+    df = spark.createDataFrame(pdf)
+    norm = Normalizer(method="zscore")
+    params = norm.fit(df)
+    diag = Normalizer.pip_mae_diagnostics(params, pips=10)
+    assert diag["close"] == pytest.approx(
+        10 * 1e-4 / params.params["per_column"]["close"]["std"]
+    )
+
+
+def test_row_quality_flag(spark):
+    from preprocessor_spark.operators.metadata import row_quality_flag
+
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": ["x", "y", None]})
+    df = spark.createDataFrame(pdf)
+    out = row_quality_flag(df).toPandas().sort_values("a", na_position="last")
+    assert list(out["quality_flag"]) == [1, 0, 0]
+
+
+def test_three_way_split(spark):
+    n = 100
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=n, freq="min"), "v": range(n)}
+    )
+    df = spark.createDataFrame(pdf)
+    sp = TemporalSplitter.three_way(0.2, 0.6)
+    out = sp.transform(df).groupBy("split_id").count().collect()
+    counts = {r["split_id"]: r["count"] for r in out}
+    assert counts == {"d1": 20, "d2": 60, "d3": 20}
