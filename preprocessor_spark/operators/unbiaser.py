@@ -23,6 +23,7 @@ limitation, SURVEY §7 risk 3).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -126,6 +127,8 @@ class Unbiaser:
         return out.filter(~F.col("__aug")).drop("__pos", "__chunk", "__aug")
 
     def _ema(self, df: DataFrame) -> DataFrame:
+        if self.chunk_rows:
+            return self._ema_chunked(df)
         vals = self._values(df)
         alpha = self.ema_alpha
         tcol, tie = self.time_col, self.tiebreak_cols
@@ -149,4 +152,158 @@ class Unbiaser:
             .applyInPandas(
                 lambda pdf: ewm_unbias(pdf.drop(columns="__g")), schema
             )
+        )
+
+    def _ema_chunked(self, df: DataFrame) -> DataFrame:
+        """Scale path for W2 (SURVEY §7 risk 3: EMA is sequential per
+        series). The adjust=True EMA is a ratio of two exponential sums,
+
+            y_t = num_t / den_t,   num_t = Σ_{i≤t} (1−α)^{t−i} x_i,
+                                   den_t = Σ_{i≤t} (1−α)^{t−i},
+
+        both of which satisfy s_t = local_t + (1−α)^{t_local+1} · carry, so
+        a chunk only needs the (num, den) carry from its predecessor.
+        Chunks run as one applyInPandas wave; the carries are combined on
+        the driver (|series| × |chunks| scalars — tiny) with the same
+        left-to-right recurrence, then a second wave applies the carry
+        correction. Numerically ≈ the single-pass pandas ewm to ~1e-12
+        relative (summation order differs at chunk seams), NOT bit-exact —
+        use the default per-series path when bit-exactness vs the reference
+        is required and series fit one task."""
+        from pyspark.sql import types as T
+
+        from preprocessor_spark.operators.positions import grouped_positions
+
+        vals = self._values(df)
+        alpha = self.ema_alpha
+        beta = 1.0 - alpha
+        pos = grouped_positions(
+            df,
+            [self.time_col, *self.tiebreak_cols],
+            group_cols=self.series_cols,
+            pos_col="__pos",
+        )
+        chunked = pos.withColumn(
+            "__chunk", (F.col("__pos") / self.chunk_rows).cast("long")
+        )
+        scols = list(self.series_cols)
+
+        # wave 1: per-chunk local ewm sums + per-chunk totals for the carry
+        state_schema = T.StructType(
+            [df.schema[c] for c in scols]
+            + [T.StructField("__chunk", T.LongType())]
+            + [
+                T.StructField(f"__{nm}_{c}", T.DoubleType())
+                for c in vals
+                for nm in ("num", "den")
+            ]
+            + [T.StructField("__n", T.LongType())]
+        )
+
+        def chunk_totals(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__pos")
+            n = len(pdf)
+            row = {c: [k] for c, k in zip([*scols, "__chunk"], keys)}
+            w = beta ** np.arange(n - 1, -1, -1)
+            for c in vals:
+                x = pdf[c].to_numpy(np.float64)
+                mask = ~np.isnan(x)
+                row[f"__num_{c}"] = [float(np.sum(w[mask] * x[mask]))]
+                row[f"__den_{c}"] = [float(np.sum(w[mask]))]
+            row["__n"] = [n]
+            return pd.DataFrame(row)
+
+        totals = (
+            chunked.groupBy(*scols, "__chunk")
+            .applyInPandas(chunk_totals, state_schema)
+            .collect()
+        )
+        # driver: fold carries left-to-right per series (tiny)
+        by_series: dict[tuple, list] = {}
+        for r in totals:
+            by_series.setdefault(tuple(r[c] for c in scols), []).append(r)
+        carries: dict[tuple, dict[str, float]] = {}
+        for key, rows in by_series.items():
+            rows.sort(key=lambda r: r["__chunk"])
+            num = {c: 0.0 for c in vals}
+            den = {c: 0.0 for c in vals}
+            for r in rows:
+                carries[(key, r["__chunk"])] = {
+                    f"{nm}_{c}": (num if nm == "num" else den)[c]
+                    for c in vals
+                    for nm in ("num", "den")
+                }
+                decay = beta ** r["__n"]
+                for c in vals:
+                    num[c] = r[f"__num_{c}"] + decay * num[c]
+                    den[c] = r[f"__den_{c}"] + decay * den[c]
+
+        spark = df.sparkSession
+        carry_rows = [
+            (*key, chunk, *(cd[f"{nm}_{c}"] for c in vals for nm in ("num", "den")))
+            for (key, chunk), cd in carries.items()
+        ]
+        carry_schema = T.StructType(
+            [df.schema[c] for c in scols]
+            + [T.StructField("__chunk", T.LongType())]
+            + [
+                T.StructField(f"__cin_{nm}_{c}", T.DoubleType())
+                for c in vals
+                for nm in ("num", "den")
+            ]
+        )
+        carry_df = spark.createDataFrame(carry_rows, carry_schema)
+
+        # wave 2: apply local ewm + carry correction per chunk
+        out_schema = T.StructType(
+            [f for f in chunked.schema.fields if f.name not in ("__pos", "__chunk")]
+        )
+        carry_cols = [f.name for f in carry_schema.fields]
+
+        def _ewm_sums(x, mask, cin_num, cin_den):
+            """Unnormalized EWM numerator/denominator with carry-in, computed
+            in 256-element sub-blocks: the scaled-cumsum trick (factor β^t
+            out of the prefix sum) overflows β^-t for big t, so each block
+            restarts the scaling with the previous block's end state as its
+            carry. Vectorized within blocks, ~n/256 python iterations."""
+            n = len(x)
+            num = np.empty(n)
+            den = np.empty(n)
+            cn, cd = cin_num, cin_den
+            B = 256
+            for s in range(0, n, B):
+                e = min(s + B, n)
+                t = np.arange(e - s, dtype=np.float64)
+                m = mask[s:e]
+                xz = np.where(m, x[s:e], 0.0)
+                inv = beta ** -t
+                scale = beta ** t
+                num[s:e] = np.cumsum(xz * inv) * scale + (beta ** (t + 1)) * cn
+                den[s:e] = (
+                    np.cumsum(m.astype(np.float64) * inv) * scale
+                    + (beta ** (t + 1)) * cd
+                )
+                cn, cd = num[e - 1], den[e - 1]
+            return num, den
+
+        def apply_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__pos")
+            for c in vals:
+                x = pdf[c].to_numpy(np.float64)
+                mask = ~np.isnan(x)
+                num, den = _ewm_sums(
+                    x,
+                    mask,
+                    pdf[f"__cin_num_{c}"].iloc[0],
+                    pdf[f"__cin_den_{c}"].iloc[0],
+                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ema = num / den
+                pdf[c] = x - ema
+            return pdf[[f.name for f in out_schema.fields]]
+
+        joined = chunked.join(F.broadcast(carry_df), [*scols, "__chunk"])
+        grouped = joined.groupBy(*scols, "__chunk")
+        return grouped.applyInPandas(
+            lambda keys, pdf: apply_chunk(pdf), out_schema
         )

@@ -74,10 +74,16 @@ def run_resumable_bulk(
     partition_col: str,
     out_path: str,
     manifest: Manifest,
+    values: list | None = None,
 ) -> list[str]:
     """Bulk variant of :func:`run_resumable`: all pending partitions are
     written in ONE distributed job (``partitionBy`` + dynamic partition
     overwrite), then marked complete with counts from a single aggregate.
+
+    Pass ``values`` (the known partition values, e.g. from the source
+    table's partition listing) to skip the distinct scan — otherwise
+    discovering them executes the full upstream plan once just to learn
+    the keys.
 
     Same resume contract — completed partitions are never recomputed, a
     crash before the manifest append leaves them unmarked and they are
@@ -89,11 +95,15 @@ def run_resumable_bulk(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = manifest.completed(stage)
-    values = [
-        r[0]
-        for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
-    ]
-    pending = [v for v in values if str(v) not in done]
+    if values is None:
+        values = [
+            r[0]
+            for r in df.select(partition_col)
+            .distinct()
+            .orderBy(partition_col)
+            .collect()
+        ]
+    pending = [v for v in sorted(values) if str(v) not in done]
     if not pending:
         return []
     t0 = time.perf_counter()

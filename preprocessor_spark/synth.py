@@ -37,6 +37,7 @@ def token_sequences(
     with_gaps: bool = True,
     seed: int = 42,
     rows_per_minute: int = ROWS_PER_MINUTE,
+    len_cap: int | None = None,
 ) -> DataFrame:
     """Build the deterministic token_sequences table with ``n_rows`` candidate
     rows (slightly fewer after gap-punching when ``with_gaps``).
@@ -44,7 +45,9 @@ def token_sequences(
     Token values and lengths are stable functions of (seed, doc index):
       * source: skewed categorical — hash bucket 0..9, buckets >=7 fold to s0;
       * n_tok:  per-source length regime (distinct spread per source) in
-        [4, 4 + 16*(src+1)) — deterministic, no RNG state;
+        [4, 4 + min(16*(src+1), len_cap)) — deterministic, no RNG state;
+        ``len_cap`` bounds sequence length for scale benchmarks where the
+        job reads only n_tok (generation cost is all in the token arrays);
       * tokens: element j = xxhash64(seed, id, j) mod VOCAB_SIZE, as int32;
       * ts:     EPOCH + (id / rows_per_minute) minutes — many sequences per
         (source, minute) so rollup tiers genuinely reduce;
@@ -65,7 +68,17 @@ def token_sequences(
         .withColumn(
             "n_tok",
             (
-                4 + (h(F.col("_i"), F.lit("len")) % (16 * (src_idx.cast("long") + 1)))
+                4
+                + (
+                    h(F.col("_i"), F.lit("len"))
+                    % (
+                        F.least(
+                            F.lit(len_cap), 16 * (src_idx.cast("long") + 1)
+                        )
+                        if len_cap is not None
+                        else 16 * (src_idx.cast("long") + 1)
+                    )
+                )
             ).cast("int"),
         )
         .withColumn(

@@ -115,3 +115,40 @@ def test_ma_chunked_equals_plain(spark):
     )
     assert len(plain) == len(chunked)
     assert np.array_equal(plain["v"].values, chunked["v"].values)
+
+
+def test_ema_chunked_matches_pandas(spark):
+    """Chunked-carry EMA scale path ≈ single-pass pandas ewm (1e-10 rel;
+    chunk seams reorder float summation so bit-exactness isn't claimed —
+    the default per-series path stays bit-exact)."""
+    import numpy as np
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 6000).withColumn(
+        "v", F.col("n_tok").cast("double")
+    )
+    kw = dict(
+        method="ema",
+        ema_alpha=0.1,
+        series_cols=["source"],
+        value_cols=["v"],
+        tiebreak_cols=["doc_id"],
+    )
+    exact = (
+        Unbiaser(**kw)
+        .transform(corpus)
+        .select("doc_id", "v")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    chunked = (
+        Unbiaser(**kw, chunk_rows=300)
+        .transform(corpus)
+        .select("doc_id", "v")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert len(exact) == len(chunked)
+    np.testing.assert_allclose(
+        chunked["v"].values, exact["v"].values, rtol=1e-10, atol=1e-12
+    )

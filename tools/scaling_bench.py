@@ -81,11 +81,20 @@ def main():
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--n", type=int, default=8, help="N cores (4N run uses 4x)")
     ap.add_argument("--workdir", default="/tmp/ppspark_scaling")
+    ap.add_argument(
+        "--len-cap",
+        type=int,
+        default=None,
+        help="cap token-sequence length in the generated corpus (the rollup "
+        "job reads only n_tok; capping keeps generation/storage costs from "
+        "dominating the scaling measurement)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     pyfiles = make_pyfiles(os.path.join(args.workdir, "engine.zip"))
-    corpus = os.path.join(args.workdir, f"corpus_{args.rows}")
+    suffix = f"_cap{args.len_cap}" if args.len_cap else ""
+    corpus = os.path.join(args.workdir, f"corpus_{args.rows}{suffix}")
 
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         sys.path.insert(0, REPO)
@@ -93,7 +102,7 @@ def main():
         from preprocessor_spark.synth import write_corpus
 
         spark = get_spark("gen", master="local[32]")
-        write_corpus(spark, corpus, args.rows)
+        write_corpus(spark, corpus, args.rows, len_cap=args.len_cap)
         spark.stop()
 
     results = {}
@@ -105,6 +114,12 @@ def main():
 
     rN, r4N = results[args.n], results[4 * args.n]
     eff_total = (r4N["points_per_sec"] / rN["points_per_sec"]) / 4
+    eff_rollup = (
+        r4N["rollup_points_per_sec"] / rN["rollup_points_per_sec"]
+    ) / 4
+    eff_prepare = (
+        r4N["prepare_points_per_sec"] / rN["prepare_points_per_sec"]
+    ) / 4
     tier_eff = {
         t: round(
             (r4N["tiers"][t]["points_per_sec"] / rN["tiers"][t]["points_per_sec"])
@@ -116,6 +131,10 @@ def main():
     summary = {
         "rows": rN["input_rows"],
         "n_cores": args.n,
+        "rollup_throughput_N": rN["rollup_points_per_sec"],
+        "rollup_throughput_4N": r4N["rollup_points_per_sec"],
+        "efficiency_rollup": round(eff_rollup, 3),
+        "efficiency_prepare": round(eff_prepare, 3),
         "throughput_N": rN["points_per_sec"],
         "throughput_4N": r4N["points_per_sec"],
         "efficiency_total": round(eff_total, 3),
@@ -142,15 +161,20 @@ def write_report(summary, rN, r4N, args):
         "  rollup tree → gap-fill → checkpointed per-source writes →",
         "  Gorilla/delta-of-delta block compression",
         "",
-        "## End-to-end job throughput (rolled-up input points/sec)",
+        "## Rollup throughput (the BASELINE metric: rolled-up points/sec)",
         "",
-        "| config | wall s | points/sec |",
-        "|---|---|---|",
-        f"| local[{args.n}] (N) | {rN['total_seconds']} | {rN['points_per_sec']:,} |",
-        f"| local[{4*args.n}] (4N) | {r4N['total_seconds']} | {r4N['points_per_sec']:,} |",
+        "| config | rollup pts/s | prepare pts/s | total wall s |",
+        "|---|---|---|---|",
+        f"| local[{args.n}] (N) | {rN['rollup_points_per_sec']:,} |"
+        f" {rN['prepare_points_per_sec']:,} | {rN['total_seconds']} |",
+        f"| local[{4*args.n}] (4N) | {r4N['rollup_points_per_sec']:,} |"
+        f" {r4N['prepare_points_per_sec']:,} | {r4N['total_seconds']} |",
         "",
-        f"**Scaling efficiency (total): {summary['efficiency_total']}**"
-        f" (criterion ≥ 0.8 → {'PASS' if summary['efficiency_total'] >= 0.8 else 'MISS'})",
+        f"**Rollup scaling efficiency: {summary['efficiency_rollup']}**"
+        f" (criterion ≥ 0.8 → {'PASS' if summary['efficiency_rollup'] >= 0.8 else 'MISS'});"
+        f" preprocessing stage efficiency {summary['efficiency_prepare']};"
+        f" whole-job efficiency {summary['efficiency_total']}"
+        " (includes fixed per-job overhead: session, counts, manifests).",
         "",
         "## Per retention tier (points/sec = tier input points / tier seconds)",
         "",
