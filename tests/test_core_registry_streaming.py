@@ -133,3 +133,66 @@ def test_streaming_tier_equals_batch_tier(spark, tmp_path):
     assert len(got) == len(batch)
     assert (got["n_points"].values == batch["n_points"].values).all()
     assert np.allclose(got["sum_v"].values, batch["sum_v"].values)
+
+
+def test_stateful_streaming_ema_matches_batch(spark, tmp_path):
+    """applyInPandasWithState EMA over multi-file micro-batches == batch EMA
+    (state carries (num, den) across batches; files arrive time-ordered)."""
+    from preprocessor_spark.operators.unbiaser import Unbiaser
+    from preprocessor_spark.streaming.stateful import stream_ema_unbias
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 4000).withColumn(
+        "v", F.col("n_tok").cast("double")
+    )
+    # write time-ordered file slices so maxFilesPerTrigger yields real
+    # multi-batch state carry
+    src_dir = str(tmp_path / "stream_src")
+    pdf = corpus.toPandas().sort_values(["ts", "doc_id"])
+    n = len(pdf)
+    for i, lo in enumerate(range(0, n, n // 4 + 1)):
+        spark.createDataFrame(pdf.iloc[lo : lo + n // 4 + 1]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = stream_ema_unbias(stream, value_col="v")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "stream_out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "stream_out"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        Unbiaser(
+            method="ema",
+            ema_alpha=0.1,
+            series_cols=["source"],
+            value_cols=["v"],
+            tiebreak_cols=["doc_id"],
+        )
+        .transform(corpus)
+        .select("doc_id", F.col("v").alias("residual"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    np.testing.assert_allclose(
+        got["residual"].values, batch["residual"].values, rtol=1e-9, atol=1e-12
+    )

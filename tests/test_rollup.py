@@ -128,3 +128,33 @@ def test_synth_determinism_and_invariant(spark):
     # source skew present: s0 ≳ 25% of rows
     frac = a["source"].value_counts(normalize=True)["s0"]
     assert frac > 0.25
+
+
+def test_two_parallelism_equivalence(spark, tree):
+    """SURVEY §5 strategy (e): identical rolled-up points at different
+    partition counts. Counts/min/max are exactly equal; floating sums are
+    rounded to 6dp before fingerprinting (summation order differs across
+    partitionings — the algebraic values agree to ~1e-10)."""
+    import pyspark.sql.functions as F
+
+    from preprocessor_spark.operators.metadata import table_fingerprint
+
+    corpus = token_sequences(spark, 15000)
+
+    def fingerprint(df):
+        tier = tree.base_aggregate(df, TierSpec("1h", "1 hour")).select(
+            "source",
+            "bucket_start",
+            "n_points",
+            F.round("sum_v", 6).alias("sum_v"),
+            F.round("sum_sq", 4).alias("sum_sq"),
+            "min_v",
+            "max_v",
+        )
+        return table_fingerprint(tier).collect()[0]
+
+    a = fingerprint(corpus.repartition(3))
+    b = fingerprint(corpus.repartition(17))
+    c = fingerprint(corpus.coalesce(1))
+    assert a["n_rows"] == b["n_rows"] == c["n_rows"]
+    assert a["fingerprint"] == b["fingerprint"] == c["fingerprint"]

@@ -1,0 +1,70 @@
+"""Generate docs/PLANS.md: physical-plan evidence for key operators."""
+import io, sys, contextlib
+sys.path.insert(0, "/root/repo")
+from preprocessor_spark import get_spark
+import __spark_entry__ as e
+import pyspark.sql.functions as F
+
+spark = get_spark("plans", master="local[8]")
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.01"
+
+def plan(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+sections = []
+
+def add(title, df, commentary):
+    sections.append((title, commentary, plan(df)))
+
+add(
+    "Tier-0 rollup aggregate (rollup_1h)",
+    e.q_rollup_1h(spark, SF),
+    "Partial+final HashAggregate with one exchange; the scan reads only the\n"
+    "referenced columns (ReadSchema) — map-side combine collapses each input\n"
+    "partition before the shuffle.",
+)
+add(
+    "Filter + projection pushdown (trim_time_range)",
+    e.q_trim_time_range(spark, SF),
+    "The time-range trim is a scan predicate (PushedFilters) — on a\n"
+    "time-partitioned table this prunes whole partitions; no separate\n"
+    "filter stage survives above the scan.",
+)
+add(
+    "Broadcast param application (zscore_value)",
+    e.q_zscore_value(spark, SF),
+    "Fitted per-group stats join back via BroadcastHashJoin — the fact side\n"
+    "never shuffles; the normalization arithmetic runs inside the same\n"
+    "WholeStageCodegen as the scan.",
+)
+add(
+    "Gap-fill spine join (rollup_gapfill_1h)",
+    e.q_rollup_gapfill_1h(spark, SF),
+    "The dense spine explodes from a one-row-per-series bounds aggregate and\n"
+    "joins the tier; only tier-sized data moves.",
+)
+add(
+    "MA unbias window (ma_unbias)",
+    e.q_ma_unbias(spark, SF),
+    "Single Window exec over (event_type) ordered runs; the trailing\n"
+    "rowsBetween frame is computed in one pass, no Python. The chunked\n"
+    "variant (Unbiaser(chunk_rows=...)) splits series into overlapping\n"
+    "chunks for series-count-independent parallelism.",
+)
+
+with open("/root/repo/docs/PLANS.md", "w") as f:
+    f.write("# Physical-plan evidence\n\n")
+    f.write(
+        "Captured with `.explain('formatted')` at sf0.01 (regenerate with\n"
+        "`python tools/gen_plans.py`). What to look for: `PushedFilters` /\n"
+        "`ReadSchema` on scans (pushdown + pruning), partial+final\n"
+        "`HashAggregate` pairs, `BroadcastHashJoin` for param application,\n"
+        "and wide `WholeStageCodegen` spans (no per-row Python anywhere).\n\n"
+    )
+    for title, commentary, p in sections:
+        f.write(f"## {title}\n\n{commentary}\n\n```\n{p}\n```\n\n")
+print("written")
