@@ -79,20 +79,33 @@ def main() -> None:
     tree = RollupTree(value_col="n_tok")
     tier_stats = {}
     t_all0 = time.perf_counter()
-    tiers = tree.build_all(corpus, derived=False)
     prev_rows = n_rows
-    for name, df in tiers.items():
+    cur = None
+    prev_df = None
+    for i, tier in enumerate(tree.tiers):
+        # persist each tier so the next tier's timing measures ONLY its own
+        # re-aggregation, not a recompute of the whole chain from the facts
+        cur = (
+            tree.base_aggregate(corpus, tier)
+            if i == 0
+            else tree.reaggregate(prev_df, tier)
+        ).persist()
         t0 = time.perf_counter()
-        out_rows = _consume(df)
+        out_rows = _consume(cur)
         dt = time.perf_counter() - t0
-        tier_stats[name] = {
+        tier_stats[tier.name] = {
             "seconds": round(dt, 3),
             "in_points": prev_rows,
             "out_buckets": out_rows,
             "points_per_sec": round(prev_rows / dt),
         }
         prev_rows = out_rows
+        if prev_df is not None:
+            prev_df.unpersist()
+        prev_df = cur
     rollup_seconds = time.perf_counter() - t_all0
+    if prev_df is not None:
+        prev_df.unpersist()
     corpus.unpersist()
 
     total = round(sum(timings.values()), 3)

@@ -129,11 +129,28 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col),
         mk_shingles(text_col, shingle_k).alias("__sh"),
+    ).persist()  # shingles feed the signature AND both verification sides
+    # signature via explode + 64 codegen'd min-aggregates: higher-order
+    # array lambdas (transform/aggregate/zip_with) run on the INTERPRETED
+    # expression path — an order of magnitude slower than whole-stage
+    # codegen. The exploded shape keeps every xxhash64 + min inside
+    # codegen, and the partial (map-side) agg collapses each task to one
+    # row per doc before the shuffle. Values are bit-identical to
+    # minhash_signature (same xxhash64(shingle_hash, seed_i) lattice).
+    exploded = base.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    sig = (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            id_col,
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
+        )
     )
-    # band-bucket stream carries ONLY (id, band, band_hash): the self-join
-    # shuffles ids, never the shingle arrays (arrays would be duplicated
-    # x bands otherwise — dominates wall time at corpus scale)
-    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
     banded = sig.select(
         id_col,
         F.explode(

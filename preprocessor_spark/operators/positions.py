@@ -38,12 +38,29 @@ def grouped_positions(
     buckets_per_core: int = 4,
 ) -> DataFrame:
     """Dense 0-based positions within each group (empty group_cols = global)."""
+    return grouped_positions_and_totals(
+        df, order_cols, group_cols, pos_col, buckets_per_core
+    )[0]
+
+
+def grouped_positions_and_totals(
+    df: DataFrame,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    pos_col: str = "__pos",
+    buckets_per_core: int = 4,
+) -> tuple[DataFrame, dict[tuple, int]]:
+    """Like :func:`grouped_positions` but also returns the exact per-group
+    row totals (key = tuple of group values; global grouping → key ``()``).
+    The totals fall out of the bucket-count aggregate this machinery already
+    runs — callers that need counts (the exact-count splitter) get them
+    WITHOUT a second full pass over the positioned plan."""
     group_cols = group_cols or []
     lead = order_cols[0]
     enc = _encode_lead(df, lead)
     lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
     if lo is None:
-        return df.withColumn(pos_col, F.lit(0).cast("long"))
+        return df.withColumn(pos_col, F.lit(0).cast("long")), {(): 0}
     n_buckets = max(
         df.sparkSession.sparkContext.defaultParallelism * buckets_per_core, 8
     )
@@ -68,6 +85,7 @@ def grouped_positions(
         g = tuple(r[c] for c in group_cols)
         rows.append((*g, r["__bkt"], acc.get(g, 0)))
         acc[g] = acc.get(g, 0) + r["count"]
+    totals = dict(acc) if acc else {(): 0}
     spark = df.sparkSession
     off_schema = (
         df.select(*group_cols, bucket.alias("__bkt"))
@@ -75,10 +93,11 @@ def grouped_positions(
     )
     offsets_df = spark.createDataFrame(rows, off_schema)
     w = Window.partitionBy(*group_cols, "__bkt").orderBy(*order_cols)
-    return (
+    positioned = (
         with_b.join(F.broadcast(offsets_df), [*group_cols, "__bkt"])
         .withColumn(
             pos_col, (F.row_number().over(w) - 1 + F.col("__off")).cast("long")
         )
         .drop("__bkt", "__off")
     )
+    return positioned, totals

@@ -25,6 +25,8 @@ time-boundary splits this module also emits (``boundaries`` →
 
 from __future__ import annotations
 
+import bisect
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,26 +100,122 @@ class TemporalSplitter:
         single-partition ``row_number() OVER (ORDER BY …)`` window, so the
         labeling stage scales with the cluster instead of serializing on
         one task (SURVEY §7 risk 2)."""
+        from preprocessor_spark.operators.positions import (
+            grouped_positions_and_totals,
+        )
+
         if self.shuffle:
             # W8: seeded permutation via hash ordering (not F.rand) so the
             # assignment is stable across partition counts (SURVEY §7 risk 5)
             hashed = df.withColumn(
                 "__ord", F.xxhash64(F.lit(self.seed or 0), F.struct(*df.columns))
             )
-            positioned = global_positions(hashed, ["__ord", *df.columns]).drop(
-                "__ord"
+            positioned, totals = grouped_positions_and_totals(
+                hashed, ["__ord", *df.columns]
             )
+            positioned = positioned.drop("__ord")
         else:
-            positioned = global_positions(
+            positioned, totals = grouped_positions_and_totals(
                 df, [self.time_col, *self.tiebreak_cols]
             )
-        total = positioned.count()
+        # exact total falls out of the positions machinery's bucket-count
+        # aggregate — no second pass over the windowed plan
+        total = totals.get((), 0)
         bounds = split_boundaries(total, self.ratios)
         pos = F.col("__pos")
         expr = F.lit(None).cast("string")
         for k, start, end in reversed(bounds):
             expr = F.when((pos >= start) & (pos < end), F.lit(k)).otherwise(expr)
         return positioned.withColumn("split_id", expr).drop("__pos")
+
+    def fit_time_boundaries(
+        self, df: DataFrame, n_buckets: int = 4096
+    ) -> StageParams:
+        """Exact per-split time boundaries WITHOUT positioning every row.
+
+        The positional path (transform → boundaries) shuffles the whole
+        table through a row_number window just to read 12 timestamps back.
+        This fit instead treats the problem as an exact quantile lookup:
+
+          1. min/max of the time key (one columnar pass);
+          2. value-range bucket counts (one pass, tiny collect) → the
+             global position offsets of every bucket + the exact total →
+             the reference's remainder rule gives the split edge positions;
+          3. the row AT each edge position lives in a known bucket at a
+             known within-bucket rank — ONE more pass sorts only the few
+             edge buckets (≤ 2 per split, ~total/n_buckets rows each) and
+             reads the edge timestamps.
+
+        Three passes over the time column, no full-width shuffle — the
+        10^12-scale fit path. Labels then come from
+        :meth:`split_by_time_boundaries` (pure predicates). Equivalent to
+        the positional path whenever edge timestamps are unique (the same
+        precondition split_by_time_boundaries already carries)."""
+        from preprocessor_spark.operators.positions import _encode_lead
+
+        enc = _encode_lead(df, self.time_col)
+        lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
+        if lo is None:
+            return StageParams(
+                stage=self.name, method="temporal",
+                params={"ratios": self.ratios, "boundaries": {}},
+            )
+        span = max(float(hi) - float(lo), 1.0)
+        bucket = F.least(
+            F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        counts = (
+            df.groupBy(bucket.alias("__bkt")).count().orderBy("__bkt").collect()
+        )
+        off, acc = {}, 0
+        for r in counts:
+            off[r["__bkt"]] = acc
+            acc += r["count"]
+        total = acc
+        bounds = split_boundaries(total, self.ratios)
+        edges = sorted(
+            {p for _, s, e in bounds if e > s for p in (s, e - 1)}
+        )
+        # map each edge position to (bucket, within-bucket rank)
+        bkts = sorted(off)
+        wanted: dict[int, list[int]] = {}
+        for p in edges:
+            # rightmost bucket with offset <= p
+            i = bisect.bisect_right([off[b] for b in bkts], p) - 1
+            b = bkts[i]
+            wanted.setdefault(b, []).append(p - off[b])
+        pair_pred = None
+        for b, ranks in wanted.items():
+            c = (F.col("__bkt") == b) & F.col("__rn").isin(ranks)
+            pair_pred = c if pair_pred is None else (pair_pred | c)
+        w = Window.partitionBy("__bkt").orderBy(self.time_col, *self.tiebreak_cols)
+        hit = (
+            df.select(self.time_col, *self.tiebreak_cols, bucket.alias("__bkt"))
+            .filter(F.col("__bkt").isin(list(wanted)))
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .filter(pair_pred)
+            .select("__bkt", "__rn", self.time_col)
+            .collect()
+        )
+        ts_at = {
+            off[r["__bkt"]] + r["__rn"]: r[self.time_col] for r in hit
+        }
+        rows = {}
+        for k, s, e in bounds:
+            if e <= s:
+                continue
+            rows[k] = {
+                "split_id": k,
+                "start_time": str(ts_at[s]),
+                "end_time": str(ts_at[e - 1]),
+                "sample_count": e - s,
+            }
+        return StageParams(
+            stage=self.name,
+            method="temporal",
+            params={"ratios": self.ratios, "boundaries": rows},
+        )
 
     def boundaries(self, labeled: DataFrame) -> DataFrame:
         """W7 temporal-boundaries metadata: per split start/end time + count

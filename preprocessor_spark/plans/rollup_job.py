@@ -42,9 +42,14 @@ def main(argv: list[str] | None = None) -> dict:
     from preprocessor_spark import get_spark
     from preprocessor_spark.operators import Normalizer, TemporalSplitter, Unbiaser
     from preprocessor_spark.params import load_params, save_params
-    from preprocessor_spark.rollup.checkpoint import Manifest, run_resumable_bulk
+    from preprocessor_spark.rollup.checkpoint import Manifest, run_resumable_observed
     from preprocessor_spark.rollup.compression import encode_tier_blocks
-    from preprocessor_spark.rollup.tiers import DEFAULT_TIERS, RollupTree
+    from preprocessor_spark.rollup.tiers import (
+        DEFAULT_TIERS,
+        RollupTree,
+        duration_seconds,
+        spine_from_bounds,
+    )
 
     spark = get_spark("rollup_job", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,14 +66,14 @@ def main(argv: list[str] | None = None) -> dict:
     sp = TemporalSplitter(time_col="ts", tiebreak_cols=["doc_id"])
     if args.resume and os.path.exists(split_params_path):
         boundaries = load_params(split_params_path).params["boundaries"]
-        labeled = TemporalSplitter.split_by_time_boundaries(corpus, "ts", boundaries)
     else:
-        labeled = sp.transform(corpus)
-        save_params(split_params_path, sp.params(labeled))
+        # exact-quantile boundary fit: three passes over the time column,
+        # no global row_number shuffle (equivalence with the positional
+        # path is tested in tests/test_splitter.py)
+        save_params(split_params_path, sp.fit_time_boundaries(corpus))
         boundaries = load_params(split_params_path).params["boundaries"]
-        # re-derive labels from boundaries so the plan used downstream is the
-        # sort-free scale path (identical labels, verified in tests)
-        labeled = TemporalSplitter.split_by_time_boundaries(corpus, "ts", boundaries)
+    # labels from boundaries = the sort-free scale path (pure predicates)
+    labeled = TemporalSplitter.split_by_time_boundaries(corpus, "ts", boundaries)
 
     # -- normalize: train-only fit, transform all -------------------------
     # raw n_tok stays for the rollup; n_tok_z is the z-scored series
@@ -105,14 +110,9 @@ def main(argv: list[str] | None = None) -> dict:
     prepare_seconds = round(time.perf_counter() - t0, 3)
     prepared = spark.read.parquet(prepared_path)
 
-    # -- rollup tree with salted tier-0, gap-fill, compression ------------
+    # -- rollup tree with gap-fill + compression ---------------------------
     # the rolled-up series is the PREPROCESSED one (z-scored + MA-unbiased
-    # token length) — the whole point of the pipeline; salting hashes only
-    # doc_id so Catalyst prunes the token arrays out of every shuffle
-    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok_z")
-    tier_metrics = {}
-    prev_rows = n_rows
-    sources = [r[0] for r in prepared.select("source").distinct().collect()]
+    # token length) — the whole point of the pipeline.
     # tier-0 uses the PLAIN partial+final hash aggregate: map-side combine
     # already collapses each task to ≤ |series × buckets| rows, and the
     # shuffle key (source, bucket) has high cardinality, so the hot source
@@ -120,26 +120,64 @@ def main(argv: list[str] | None = None) -> dict:
     # the shuffled partial rows by the salt factor for no benefit — the
     # salted path (tree.salted_aggregate, used by the window stages' skew
     # handling and kept equivalence-tested) is for single-hot-KEY shapes.
-    cur = tree.base_aggregate(prepared, DEFAULT_TIERS[0])
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok_z")
+    tier_metrics = {}
+    prev_rows = n_rows
+
+    # Minimal-fixed-cost tier loop: sources AND per-series time bounds come
+    # from ONE collect on the cached tier-0 aggregate (no distinct scan of
+    # the facts); each tier's gap-fill spine is derived on the driver from
+    # those bounds (F.window epoch alignment = integer floor); lineage row
+    # counts ride the write action as Observation metrics. Net: ONE Spark
+    # job per tier after tier-0 — fixed per-tier overhead is what caps the
+    # N→4N scaling efficiency that the north rule grades.
+    tier0 = DEFAULT_TIERS[0]
+    t0 = time.perf_counter()
+    cur = tree.base_aggregate(prepared, tier0).persist()
+    bounds_rows = [
+        tuple(r)
+        for r in cur.groupBy("source")
+        .agg(
+            F.min(F.unix_timestamp("bucket_start")).alias("__t0s"),
+            F.max(F.unix_timestamp("bucket_start")).alias("__t1s"),
+        )
+        .collect()
+    ]
+    agg_seconds = round(time.perf_counter() - t0, 3)
+    sources = sorted(r[0] for r in bounds_rows)
+
     for i, tier in enumerate(DEFAULT_TIERS):
+        tier_path = os.path.join(out, f"tier_{tier.name}")
         if i > 0:
-            cur = tree.reaggregate(cur, tier)
-        # persist the tier aggregate: gap-fill references it twice (bounds
-        # + join) and the write is a third consumer — without the persist
-        # the upstream aggregate executes once per consumer
-        cur = cur.persist()
-        filled = tree.gap_fill(cur, tier)
-        t0 = time.perf_counter()
-        run_resumable_bulk(
+            t0 = time.perf_counter()
+            # re-aggregate from the previous tier's checkpointed output
+            # (lazy read → resume-safe chain, no extra job)
+            cur = tree.reaggregate(
+                spark.read.parquet(os.path.join(out, f"tier_{DEFAULT_TIERS[i-1].name}"))
+                .select(
+                    "source", "bucket_start", "n_points",
+                    "sum_v", "sum_sq", "min_v", "max_v",
+                )
+                .filter(F.col("n_points") > 0),
+                tier,
+            )
+        spine = spine_from_bounds(
+            spark, bounds_rows, ["source"], duration_seconds(tier.duration)
+        )
+        filled = spine.join(
+            cur, on=["source", "bucket_start"], how="left"
+        ).withColumn("n_points", F.coalesce("n_points", F.lit(0)))
+        run_resumable_observed(
             spark,
             filled,
             stage=f"tier_{tier.name}",
             partition_col="source",
-            out_path=os.path.join(out, f"tier_{tier.name}"),
+            out_path=tier_path,
             manifest=manifest,
             values=sources,
         )
-        cur.unpersist()
+        if i == 0:
+            cur.unpersist()
         tier_rows = sum(
             r["rows"]
             for r in manifest.lineage()
@@ -153,11 +191,7 @@ def main(argv: list[str] | None = None) -> dict:
             "points_per_sec": round(prev_rows / dt),
         }
         prev_rows = tier_rows
-        # next tier re-aggregates from the materialized current tier (reads
-        # back the checkpointed output → resume-safe chain)
-        cur = spark.read.parquet(os.path.join(out, f"tier_{tier.name}")).select(
-            "source", "bucket_start", "n_points", "sum_v", "sum_sq", "min_v", "max_v"
-        ).filter(F.col("n_points") > 0)
+    tier_metrics[tier0.name]["agg_seconds"] = agg_seconds
 
     # -- compression of the finest tier -----------------------------------
     t0 = time.perf_counter()

@@ -67,6 +67,20 @@ class Manifest:
             return [json.loads(line) for line in f]
 
 
+def _write_layout(df: DataFrame, partition_col: str) -> DataFrame:
+    """Shape a Hive-partitioned write: without an explicit repartition, a
+    ``partitionBy`` write opens one file per (task, partition value) —
+    S×P tiny files plus per-task concurrent-writer sorting, which measured
+    ~4x slower than a shaped write at bench scale. Hashing on
+    (partition_col, remaining cols' first) bounds tasks to ~|cores| while
+    still spreading a hot partition value across tasks (skew-safe, unlike
+    repartition(partition_col) alone)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    others = [c for c in df.columns if c != partition_col]
+    keys = [partition_col, *others[:1]]
+    return df.repartition(max(cores, 1), *keys)
+
+
 def run_resumable_bulk(
     spark: SparkSession,
     df: DataFrame,
@@ -108,6 +122,7 @@ def run_resumable_bulk(
         return []
     t0 = time.perf_counter()
     sub = df.filter(F.col(partition_col).isin(pending))
+    sub = _write_layout(sub, partition_col)
     sub.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
     counts = {
         r[0]: r[1]
@@ -121,6 +136,56 @@ def run_resumable_bulk(
     for v in pending:
         manifest.mark(stage, str(v), rows=int(counts.get(v, 0)), seconds=dt)
     return [str(v) for v in pending]
+
+
+def run_resumable_observed(
+    spark: SparkSession,
+    df: DataFrame,
+    stage: str,
+    partition_col: str,
+    out_path: str,
+    manifest: Manifest,
+    values: list,
+) -> dict[str, int]:
+    """Like :func:`run_resumable_bulk` but lineage row counts come from an
+    ``Observation`` attached to the write action itself — zero extra Spark
+    jobs (the bulk variant re-reads the written output to count). At scale
+    the read-back is a second full pass over the tier; observed metrics
+    ride the write for free.
+
+    ``values`` (known partition values) is required — per-value counts are
+    conditional aggregates, which needs the value set up front.
+    Returns {value: rows_written} for the partitions written THIS run.
+    """
+    from pyspark.sql import Observation
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = manifest.completed(stage)
+    pending = [v for v in sorted(values) if str(v) not in done]
+    if not pending:
+        return {}
+    sub = df.filter(F.col(partition_col).isin(pending))
+    sub = _write_layout(sub, partition_col)
+    obs = Observation(f"{stage}_counts")
+    sub = sub.observe(
+        obs,
+        *[
+            F.sum(
+                F.when(F.col(partition_col) == v, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"c_{i}")
+            for i, v in enumerate(pending)
+        ],
+    )
+    t0 = time.perf_counter()
+    sub.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
+    got = obs.get
+    dt = round(time.perf_counter() - t0, 3)
+    counts = {}
+    for i, v in enumerate(pending):
+        rows = int(got[f"c_{i}"] or 0)
+        manifest.mark(stage, str(v), rows=rows, seconds=dt)
+        counts[str(v)] = rows
+    return counts
 
 
 def run_resumable(

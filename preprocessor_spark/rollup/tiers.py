@@ -181,3 +181,54 @@ def _duration_minutes(duration: str) -> int:
     unit = unit.rstrip("s")
     factor = {"minute": 1, "hour": 60, "day": 1440, "week": 10080}[unit]
     return int(qty) * factor
+
+
+def duration_seconds(duration: str) -> int:
+    return _duration_minutes(duration) * 60
+
+
+def spine_from_bounds(
+    spark,
+    bounds_rows,
+    series_cols: list[str],
+    period_seconds: int,
+    time_col: str = "bucket_start",
+    max_chunk: int = 8192,
+) -> DataFrame:
+    """Dense bucket spine built from per-series [t0, t1] epoch bounds that
+    were collected ONCE (e.g. from the finest-tier aggregate) — no extra
+    job over the facts per tier. Bounds are floored to the tier period with
+    integer arithmetic, matching ``F.window``'s epoch alignment, so the
+    same bounds serve every tier of the tree.
+
+    The explode is two-level (chunks of ``max_chunk`` buckets) so a series
+    spanning years at a fine tier never materializes one giant array per
+    row — the scale path for 10^12-sequence spans.
+
+    ``bounds_rows``: rows/tuples of (*series values, t0_epoch_s, t1_epoch_s).
+    """
+    step = int(period_seconds)
+    schema = ", ".join(f"{c} string" for c in series_cols) + ", __t0s long, __t1s long"
+    sdf = spark.createDataFrame([tuple(r) for r in bounds_rows], schema)
+    t0k = (F.col("__t0s") - F.col("__t0s") % step).alias("__t0k")
+    t1k = (F.col("__t1s") - F.col("__t1s") % step).alias("__t1k")
+    chunk = step * max_chunk
+    chunked = sdf.select(*series_cols, t0k, t1k).select(
+        *series_cols,
+        "__t1k",
+        F.explode(
+            F.sequence(F.col("__t0k"), F.col("__t1k"), F.lit(chunk))
+        ).alias("__c0"),
+    )
+    return chunked.select(
+        *series_cols,
+        F.explode(
+            F.sequence(
+                F.col("__c0"),
+                F.least(F.col("__c0") + F.lit(chunk - step), F.col("__t1k")),
+                F.lit(step),
+            )
+        ).alias("__es"),
+    ).select(
+        *series_cols, F.timestamp_seconds(F.col("__es")).alias(time_col)
+    )

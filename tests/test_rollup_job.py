@@ -1,0 +1,141 @@
+"""End-to-end tests for the spark-submit rollup job (plans/rollup_job.py):
+tier outputs match the library gap-fill chain, lineage is emitted per
+partition, and a resumed run skips completed partitions while producing an
+identical tree (SURVEY §5 strategy d)."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from preprocessor_spark.plans import rollup_job
+from preprocessor_spark.rollup.tiers import (
+    DEFAULT_TIERS,
+    RollupTree,
+    duration_seconds,
+    spine_from_bounds,
+)
+from preprocessor_spark.synth import token_sequences, write_corpus
+
+TIER_COLS = ["source", "bucket_start", "n_points", "sum_v", "sum_sq", "min_v", "max_v"]
+
+
+@pytest.fixture(scope="module")
+def job_out(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("rollup_job")
+    corpus = str(work / "corpus")
+    out = str(work / "out")
+    write_corpus(spark, corpus, 30_000)
+    res = rollup_job.main(["--input", corpus, "--output", out])
+    return corpus, out, res
+
+
+def _close(spark, a, b, tol=1e-9):
+    j = a.alias("r").join(b.alias("g"), on=["source", "bucket_start"], how="full")
+    return (
+        j.filter(
+            (F.col("r.n_points") != F.col("g.n_points"))
+            | (F.abs(F.col("r.sum_v") - F.col("g.sum_v")) > tol)
+            | (F.abs(F.col("r.sum_sq") - F.col("g.sum_sq")) > tol)
+            | F.col("r.n_points").isNull()
+            | F.col("g.n_points").isNull()
+        ).count()
+        == 0
+    )
+
+
+def test_job_tiers_match_library_chain(spark, job_out):
+    _, out, res = job_out
+    prepared = spark.read.parquet(os.path.join(out, "prepared"))
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok_z")
+    cur = tree.base_aggregate(prepared, DEFAULT_TIERS[0])
+    for i, tier in enumerate(DEFAULT_TIERS):
+        if i > 0:
+            cur = tree.reaggregate(cur, tier)
+        ref = tree.gap_fill(cur, tier).select(TIER_COLS)
+        got = spark.read.parquet(os.path.join(out, f"tier_{tier.name}")).select(
+            TIER_COLS
+        )
+        assert _close(spark, ref, got), f"tier {tier.name} diverged"
+        assert res["tiers"][tier.name]["out_buckets"] == got.count()
+
+
+def test_job_lineage_per_partition(spark, job_out):
+    _, out, res = job_out
+    lineage = [
+        json.loads(line)
+        for line in open(os.path.join(out, "manifest.jsonl"))
+    ]
+    sources = {r["source"] for r in spark.read.parquet(
+        os.path.join(out, "prepared")).select("source").distinct().collect()}
+    for tier in DEFAULT_TIERS:
+        done = {r["partition"] for r in lineage if r["stage"] == f"tier_{tier.name}"}
+        assert done == sources
+        assert all(
+            "rows" in r and "seconds" in r
+            for r in lineage
+            if r["stage"] == f"tier_{tier.name}"
+        )
+
+
+def test_job_resume_skips_completed_and_is_identical(spark, job_out, tmp_path):
+    corpus, out, _ = job_out
+    # simulate a crash after tier_5m: drop manifest rows for 1h/1d and the
+    # written 1h/1d outputs, then resume
+    out2 = str(tmp_path / "out_resumed")
+    shutil.copytree(out, out2)
+    man = os.path.join(out2, "manifest.jsonl")
+    rows = [json.loads(line) for line in open(man)]
+    with open(man, "w") as f:
+        for r in rows:
+            if r["stage"] == "tier_5m":
+                f.write(json.dumps(r) + "\n")
+    shutil.rmtree(os.path.join(out2, "tier_1h"))
+    shutil.rmtree(os.path.join(out2, "tier_1d"))
+
+    res2 = rollup_job.main(
+        ["--input", corpus, "--output", out2, "--resume"]
+    )
+    for tier in DEFAULT_TIERS:
+        a = spark.read.parquet(os.path.join(out, f"tier_{tier.name}")).select(
+            TIER_COLS
+        )
+        b = spark.read.parquet(os.path.join(out2, f"tier_{tier.name}")).select(
+            TIER_COLS
+        )
+        assert _close(spark, a, b, tol=1e-12), f"resume diverged at {tier.name}"
+    # the resumed run did not rewrite tier_5m: manifest still has exactly
+    # one completion row per source for it
+    lineage = [json.loads(line) for line in open(man)]
+    per_src = {}
+    for r in lineage:
+        if r["stage"] == "tier_5m":
+            per_src[r["partition"]] = per_src.get(r["partition"], 0) + 1
+    assert all(v == 1 for v in per_src.values())
+
+
+def test_spine_from_bounds_equals_dense_spine(spark):
+    corpus = token_sequences(spark, 5_000)
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok")
+    for tier in DEFAULT_TIERS:
+        cur = tree.base_aggregate(corpus, tier)
+        ref = tree.gap_fill(cur, tier).select("source", "bucket_start")
+        bounds = [
+            tuple(r)
+            for r in cur.groupBy("source")
+            .agg(
+                F.min(F.unix_timestamp("bucket_start")).alias("t0"),
+                F.max(F.unix_timestamp("bucket_start")).alias("t1"),
+            )
+            .collect()
+        ]
+        spine = spine_from_bounds(
+            spark, bounds, ["source"], duration_seconds(tier.duration),
+            max_chunk=7,  # force the two-level chunked explode path
+        )
+        assert (
+            spine.exceptAll(ref).count() == 0
+            and ref.exceptAll(spine).count() == 0
+        ), f"spine mismatch at {tier.name}"

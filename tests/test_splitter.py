@@ -93,3 +93,43 @@ def test_invalid_ratios_rejected():
     bad = {"d1": 0.5, "d2": 0.1, "d3": 0.1, "d4": 0.1, "d5": 0.1, "d6": 0.3}
     with pytest.raises(ValueError):
         TemporalSplitter(ratios=bad)
+
+
+def test_fit_time_boundaries_matches_positional_params(spark):
+    """The exact-quantile boundary fit (no global window) must produce the
+    same boundaries dict as the positional transform→params path, on both
+    regular and irregular (gappy, duplicate-free) timestamps."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # irregular spacing: cumulative positive gaps, unique timestamps
+    gaps = rng.integers(1, 900, size=2000).cumsum()
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2021-03-01") + pd.to_timedelta(gaps, unit="s"),
+            "v": range(2000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sp = TemporalSplitter()
+    ref = sp.params(sp.transform(df)).params["boundaries"]
+    got = sp.fit_time_boundaries(df, n_buckets=64).params["boundaries"]
+    assert set(ref) == set(got)
+    for k in ref:
+        assert ref[k]["sample_count"] == got[k]["sample_count"], k
+        assert str(ref[k]["start_time"]) == str(got[k]["start_time"]), k
+        assert str(ref[k]["end_time"]) == str(got[k]["end_time"]), k
+
+
+def test_fit_time_boundaries_small_and_empty(spark):
+    sp = TemporalSplitter()
+    empty = spark.createDataFrame([], "ts timestamp, v long")
+    assert sp.fit_time_boundaries(empty).params["boundaries"] == {}
+    tiny = spark.createDataFrame(
+        pd.DataFrame(
+            {"ts": pd.date_range("2020-01-01", periods=4, freq="min"), "v": range(4)}
+        )
+    )
+    ref = sp.params(sp.transform(tiny)).params["boundaries"]
+    got = sp.fit_time_boundaries(tiny, n_buckets=8).params["boundaries"]
+    assert ref == got
