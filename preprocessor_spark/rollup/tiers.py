@@ -220,6 +220,12 @@ def spine_from_bounds(
             F.sequence(F.col("__t0k"), F.col("__t1k"), F.lit(chunk))
         ).alias("__c0"),
     )
+    # spread chunk rows across the cluster BEFORE the big inner explode:
+    # without this the spine inherits ≤|series| partitions, so the hot
+    # series' millions of buckets explode + sort for the gap-fill join in
+    # ONE task (measured as the dominant serial cost of the tier write)
+    cores = spark.sparkContext.defaultParallelism
+    chunked = chunked.repartition(max(cores * 2, 8))
     return chunked.select(
         *series_cols,
         F.explode(

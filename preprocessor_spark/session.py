@@ -18,6 +18,12 @@ _DEFAULT_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce post-shuffle partitions to size targets, not to cluster
+    # parallelism — with parallelismFirst (the default) AQE keeps tiny
+    # partitions alive on small tier re-aggregations, turning them into
+    # task-scheduling overhead
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "33554432",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: keep row groups aligned with partition sizing at scale.
@@ -29,13 +35,20 @@ _DEFAULT_CONFS = {
 
 def _shuffle_partitions(master: str) -> str:
     """Initial shuffle partitions scale with cores (AQE coalesces down):
-    a flat 32 gives local[32] one partition per core — any skew (the corpus
-    has a 30% hot source) leaves cores idle behind stragglers."""
+    4 per core smooths skew stragglers (the corpus has a 30% hot source)
+    without flooding small configs with task-scheduling overhead — a flat
+    floor of 64 measured as pure fixed cost on 2-core runs (tiny tier jobs
+    spent seconds launching 64 near-empty tasks)."""
     import re
 
     m = re.search(r"local\[(\d+)\]", master or "")
-    cores = int(m.group(1)) if m else 32
-    return str(max(64, cores * 4))
+    if m:
+        cores = int(m.group(1))
+    else:
+        # non-local master (standalone/yarn): size from the submitted core
+        # budget, exported by the launcher
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return str(max(16, cores * 4))
 
 
 def get_spark(

@@ -6,3 +6,8 @@ from preprocessor_spark.sources.io import (  # noqa: F401
     write_data,
     write_split_datasets,
 )
+from preprocessor_spark.sources.iceberg import (  # noqa: F401
+    TableIO,
+    configure_catalog,
+    iceberg_available,
+)

@@ -133,3 +133,52 @@ def test_fit_time_boundaries_small_and_empty(spark):
     ref = sp.params(sp.transform(tiny)).params["boundaries"]
     got = sp.fit_time_boundaries(tiny, n_buckets=8).params["boundaries"]
     assert ref == got
+
+
+def test_stratified_split_exact_per_stratum_counts(spark):
+    """W9: each stratum is split with the exact W6 remainder rule applied
+    to ITS row count; assignment is deterministic across partition counts."""
+    import numpy as np
+
+    from preprocessor_spark.operators.splitter import split_counts
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=1000, freq="min"),
+            "grp": ["a"] * 700 + ["b"] * 200 + ["c"] * 100,
+            "v": np.arange(1000.0),
+        }
+    )
+    sp = TemporalSplitter(seed=42)
+    out = sp.stratified(spark.createDataFrame(pdf), "grp")
+    got = (
+        out.groupBy("grp", "split_id")
+        .count()
+        .toPandas()
+        .set_index(["grp", "split_id"])["count"]
+        .to_dict()
+    )
+    for g, n in (("a", 700), ("b", 200), ("c", 100)):
+        want = split_counts(n, sp.ratios)
+        for k, c in want.items():
+            if c:
+                assert got.get((g, k), 0) == c, (g, k)
+    # determinism across parallelism
+    out2 = sp.stratified(
+        spark.createDataFrame(pdf).repartition(13), "grp"
+    )
+    a = out.select("v", "split_id").toPandas().sort_values("v")
+    b = out2.select("v", "split_id").toPandas().sort_values("v")
+    assert (a["split_id"].values == b["split_id"].values).all()
+
+
+def test_stratified_split_rejects_high_cardinality(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=100, freq="min"),
+            "grp": [f"g{i}" for i in range(100)],
+            "v": range(100),
+        }
+    )
+    with pytest.raises(ValueError, match="unique values"):
+        TemporalSplitter().stratified(spark.createDataFrame(pdf), "grp")
