@@ -56,6 +56,18 @@ add(
     "chunks for series-count-independent parallelism.",
 )
 
+add(
+    "MinHash signature (minhash_neardups, signature stage)",
+    __import__("preprocessor_spark.functions.dedup", fromlist=["x"]).minhash_lsh_pairs(
+        spark.read.parquet(f"{SF}/documents.parquet"),
+        jaccard_threshold=0.5, shingle_mode="word", shingle_k=3,
+    ),
+    "Signatures are an explode + 64 codegen'd min-aggregates with map-side\n"
+    "partial aggregation — NOT higher-order array lambdas, which run on the\n"
+    "interpreted expression path (~10x slower). The band self-join keys on\n"
+    "(band, band-hash) so only colliding docs meet.",
+)
+
 with open("/root/repo/docs/PLANS.md", "w") as f:
     f.write("# Physical-plan evidence\n\n")
     f.write(
