@@ -204,12 +204,16 @@ def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_split_six_way(spark: SparkSession, sf: str) -> DataFrame:
     """W6 exact-count six-way temporal split (reference remainder rule) —
-    per-split counts and time boundaries (W7)."""
+    per-split counts and time boundaries (W7), via the scale path: the
+    exact-quantile boundary fit (no global row_number shuffle) + pure
+    predicate labels. Equivalence with the positional transform is
+    pytest-verified (tests/test_splitter.py)."""
     from preprocessor_spark.operators.splitter import TemporalSplitter
 
     ev = _t(spark, sf, "events")
     sp = TemporalSplitter(time_col="ts", tiebreak_cols=["event_id"])
-    labeled = sp.transform(ev)
+    boundaries = sp.fit_time_boundaries(ev).params["boundaries"]
+    labeled = TemporalSplitter.split_by_time_boundaries(ev, "ts", boundaries)
     return labeled.groupBy("split_id").agg(
         F.count(F.lit(1)).alias("sample_count"),
         F.min("ts").alias("start_time"),
