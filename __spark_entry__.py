@@ -6,9 +6,13 @@ side-by-side at sf=0.01. Column aliases match exactly on both sides; float
 columns are rounded identically on both sides so order-insensitive value
 hashes agree despite summation-order differences.
 
-Rows-only entries (no SQL equivalent): hash-based fingerprints/minhash/
-simhash (xxhash64 is Spark-specific), LSH ANN, linear interpolation, codec
-round-trips — all of which have exact pytest oracles instead (tests/).
+Every queries() entry has an oracle_sql() twin. The hash-based operators
+(minhash, simhash, LSH ANN) derive their hash families from md5 arithmetic
+(functions/hashing.py) so DuckDB reproduces the exact signatures, candidate
+sets and verified pairs; the codec round-trip is checked through its
+lossless invariant (decoded tier == directly-aggregated tier); EMA uses a
+truncated power-weighted window (weights beyond β^700 ≈ 1e-32 are far below
+the rounding quantum); FFT peaks are checked against a naive DFT.
 """
 
 from __future__ import annotations
@@ -539,11 +543,12 @@ def q_pipeline_zscore_by_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------------- rows-only queries
+# ------------------------------------- window-algebra / hash-mirror queries
 def q_interpolate_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-fill the hourly mean series per event_type and linearly
-    interpolate missing buckets (W3) — rows-only check; exact pandas oracle
-    in tests/test_cleaner.py."""
+    interpolate missing buckets (W3). Oracle: the identical row-positional
+    window algebra (IGNORE NULLS last/first_value) in DuckDB; exact pandas
+    oracle additionally in tests/test_cleaner.py."""
     from preprocessor_spark.operators.cleaner import interpolate_linear
 
     t1h = (
@@ -568,8 +573,12 @@ def q_interpolate_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ema_unbias(spark: SparkSession, sf: str) -> DataFrame:
-    """W2 EMA residual via pandas ewm inside applyInPandas — rows-only
-    (bit-exact pandas oracle in tests/test_unbiaser.py)."""
+    """W2 EMA residual via pandas ewm inside applyInPandas. Oracle: the
+    adjust=True EMA is a ratio of power-weighted sums; DuckDB evaluates it
+    over a 700-row trailing list window (truncation error ~1e-32, far
+    below the round-4 quantum; the two algorithms differ in summation
+    order, hence round 4 not 6). Bit-exact pandas oracle additionally in
+    tests/test_unbiaser.py."""
     from preprocessor_spark.operators.unbiaser import Unbiaser
 
     ev = _t(spark, sf, "events").select("event_id", "ts", "event_type", "value")
@@ -581,13 +590,15 @@ def q_ema_unbias(spark: SparkSession, sf: str) -> DataFrame:
         tiebreak_cols=["event_id"],
     )
     return u.transform(ev).select(
-        "event_id", "event_type", F.round("value", 6).alias("v_unbiased")
+        "event_id", "event_type", F.round("value", 4).alias("v_unbiased")
     )
 
 
 def q_minhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only; known
-    duplicate corpus oracle in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs. md5-derived double-hashing signatures
+    (one digest per shingle) are engine-portable, so the DuckDB oracle
+    reproduces the exact candidate set and verified Jaccard; known-duplicate
+    corpus oracle additionally in tests/test_dedup.py."""
     from preprocessor_spark.functions.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents")
@@ -597,16 +608,18 @@ def q_minhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash hamming≤3 near-dup pairs — rows-only."""
+    """SimHash hamming≤3 near-dup pairs — 60-bit md5-derived signatures,
+    bit-for-bit mirrored by the DuckDB oracle."""
     from preprocessor_spark.functions.dedup import simhash_near_dups
 
     return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
 
 
 def q_tier_compression_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """Gorilla/delta-of-delta block encode→decode of the 1h tier, returning
-    per-source block stats + verified-equal flag — rows-only (bit-exact
-    round-trip oracle in tests/test_compression_blocks.py)."""
+    """Gorilla/delta-of-delta block encode→decode of the 1h tier. Oracle:
+    the lossless invariant — decoded totals must equal the
+    directly-aggregated tier totals (bit-exact round-trip oracle
+    additionally in tests/test_compression_blocks.py)."""
     from preprocessor_spark.rollup.compression import (
         decode_tier_blocks,
         encode_tier_blocks,
@@ -633,8 +646,9 @@ def q_tier_compression_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
     """F3 distributed binned MI: rank lineitem features against
-    extendedprice — rows-only (synthetic-oracle pytest in
-    tests/test_metadata_analysis.py)."""
+    extendedprice. Oracle: the same quantile-binned joint-histogram MI in
+    DuckDB (bin id = #edges strictly below x); synthetic-oracle pytest in
+    tests/test_metadata_analysis.py."""
     from preprocessor_spark.functions.analysis import mutual_information
 
     li = _t(spark, sf, "lineitem")
@@ -644,8 +658,11 @@ def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_fft_peaks(spark: SparkSession, sf: str) -> DataFrame:
-    """W13 FFT top-5 spectral peaks of the hourly event-count series —
-    rows-only (dominant-frequency pytest oracle)."""
+    """W13 FFT top-5 spectral peaks of the hourly event-count series.
+    Oracle: naive DFT (sum of cos/sin terms) in DuckDB — same spectrum as
+    numpy's rfft to ~1e-11 dB, well inside the round-4 quantum. peak_rank
+    is dropped from the comparison surface so a sub-ulp magnitude tie can
+    never flip rank labels between engines (the compare is set-based)."""
     from preprocessor_spark.functions.analysis import fft_top_peaks
 
     t1h = (
@@ -653,19 +670,24 @@ def q_fft_peaks(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_start"))
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
-    return fft_top_peaks(
+    peaks = fft_top_peaks(
         t1h, "n", time_col="bucket_start", series_cols=["event_type"], top_k=5
+    )
+    return peaks.select(
+        "event_type", "freq_index", F.round("magnitude_db", 4).alias("magnitude_db")
     )
 
 
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 (scale path) — rows-only; exact-recall
-    oracle in tests/test_similarity.py."""
+    """LSH-bucketed ANN top-10 (scale path). md5-derived hyperplanes make
+    the bucket assignment reproducible in DuckDB; ordering is on the
+    ROUNDED cosine (+ vec_id tiebreak) so the ranking is engine-stable.
+    Exact-recall oracle additionally in tests/test_similarity.py."""
     from preprocessor_spark.functions.similarity import lsh_topk
 
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return lsh_topk(e, list(q), k=10, num_planes=6)
+    return lsh_topk(e, list(q), k=10, num_planes=6, round_digits=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -708,7 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_priority": q_revenue_by_priority,
         "top_customers": q_top_customers,
-        # rows-only (non-SQL-expressible; pytest oracles instead)
+        # window-algebra / hash-mirror / derived-invariant oracles
         "interpolate_hourly": q_interpolate_hourly,
         "ema_unbias": q_ema_unbias,
         "minhash_neardups": q_minhash_neardups,
@@ -718,6 +740,213 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fft_peaks": q_fft_peaks,
         "lsh_topk": q_lsh_topk,
     }
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of functions/dedup.py:minhash_lsh_pairs (word mode,
+    k=3, 64 hashes, 16 bands, threshold 0.5): identical md5-derived
+    double-hashing signatures, identical band keys, identical candidates,
+    true-Jaccard verification over the same distinct 60-bit shingle hashes."""
+    m61 = (1 << 61) - 1
+    num_hashes, bands, rpb = 64, 16, 4
+    mins = ",\n             ".join(
+        f"min((h1 + {i}*h2) % {m61}) AS g{i}" for i in range(num_hashes)
+    )
+    band_keys = ",\n               ".join(
+        "(" + " || ',' || ".join(
+            f"CAST(g{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        ) + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   j -> array_to_string(w[j:j+2], ' ')))) AS s
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS w
+                FROM documents)
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(s), 17, 15))::BIGINT & 2147483647 AS h2
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+             {mins},
+             list(DISTINCT h1) AS shs
+          FROM h GROUP BY doc_id
+        ), bandrows AS (
+          SELECT doc_id, t.i AS band, keys[t.i + 1] AS bh
+          FROM (SELECT doc_id,
+               [{band_keys}] AS keys
+                FROM sig) CROSS JOIN range({bands}) t(i)
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bandrows l JOIN bandrows r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ), verified AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(a.shs, b.shs))
+                   / (len(a.shs) + len(b.shs)
+                      - len(list_intersect(a.shs, b.shs))) AS j
+          FROM cand c
+          JOIN sig a ON c.id_a = a.doc_id
+          JOIN sig b ON c.id_b = b.doc_id
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard
+        FROM verified WHERE j >= 0.5
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of functions/dedup.py:simhash_near_dups: 60-bit
+    md5-derived SimHash, 4x15-bit pigeonhole blocking, hamming <= 3."""
+    return """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(lower(text), '\\s+')))
+                   AS word
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+          FROM w WHERE length(word) > 0
+        ), votes AS (
+          SELECT doc_id, t.i AS i,
+                 sum(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN range(60) t(i)
+          GROUP BY 1, 2
+        ), sig0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                      AS BIGINT) AS sh
+          FROM votes GROUP BY 1
+        ), sig AS (
+          SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+          FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+        ), chunks AS (
+          SELECT doc_id, sh, t.i AS ci, (sh >> (15 * t.i)) & 32767 AS cv
+          FROM sig CROSS JOIN range(4) t(i)
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                          l.sh AS sa, r.sh AS sb
+          FROM chunks l JOIN chunks r
+            ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB mirror of functions/similarity.py:lsh_topk (6 planes, seed 42,
+    k=10): identical md5-derived hyperplanes and bucket bits, rounded-cosine
+    ordering."""
+    return """
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), planes AS (
+          SELECT p.p, d.d,
+                 ('0x' || substr(md5('plane:42:' || p.p || ':' || d.d), 1, 15))::BIGINT
+                   / 576460752303423488.0 - 1.0 AS w
+          FROM range(6) p(p) CROSS JOIN range(64) d(d)
+        ), dots AS (
+          SELECT v.vec_id, pl.p, sum(v.e[pl.d + 1] * pl.w) AS dp
+          FROM vecs v CROSS JOIN planes pl
+          GROUP BY 1, 2
+        ), sigs AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                      AS BIGINT) AS b
+          FROM dots GROUP BY 1
+        ), qv AS (SELECT e FROM vecs WHERE vec_id = 0),
+        qb AS (SELECT b FROM sigs WHERE vec_id = 0)
+        SELECT v.vec_id,
+               round(list_dot_product(v.e, qv.e)
+                 / (sqrt(list_dot_product(v.e, v.e))
+                    * sqrt(list_dot_product(qv.e, qv.e))), 4) AS cosine
+        FROM vecs v
+        JOIN sigs s ON v.vec_id = s.vec_id
+        CROSS JOIN qv CROSS JOIN qb
+        WHERE s.b = qb.b
+        ORDER BY cosine DESC, v.vec_id
+        LIMIT 10
+    """
+
+
+def _mutual_info_oracle_sql() -> str:
+    """DuckDB mirror of functions/analysis.py:mutual_information over
+    lineitem (features l_quantity/l_discount/l_tax vs l_extendedprice,
+    8 quantile bins): bin id = #edges strictly below x (identical to the
+    Spark CASE ladder), MI from the joint histogram."""
+    probs = "[" + ", ".join(str(i / 8) for i in range(1, 8)) + "]"
+    per_feature = []
+    for feat in ("l_quantity", "l_discount", "l_tax"):
+        per_feature.append(f"""
+          SELECT '{feat}' AS feature, round(sum(term), 6) AS mi_bits FROM (
+            SELECT (n / total) * log2(n * total / (px * py)) AS term FROM (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(count(*)) OVER ()::DOUBLE AS total,
+                     sum(count(*)) OVER (PARTITION BY xb)::DOUBLE AS px,
+                     sum(count(*)) OVER (PARTITION BY yb)::DOUBLE AS py
+              FROM (
+                SELECT len(list_filter(e.ex_{feat}, v -> v < l.{feat})) AS xb,
+                       len(list_filter(e.ey, v -> v < l.l_extendedprice)) AS yb
+                FROM lineitem l CROSS JOIN edges e
+              ) GROUP BY xb, yb
+            )
+          )""")
+    union = "\n          UNION ALL".join(per_feature)
+    return f"""
+        WITH edges AS (
+          SELECT quantile_cont(l_quantity, {probs}) AS ex_l_quantity,
+                 quantile_cont(l_discount, {probs}) AS ex_l_discount,
+                 quantile_cont(l_tax, {probs}) AS ex_l_tax,
+                 quantile_cont(l_extendedprice, {probs}) AS ey
+          FROM lineitem
+        )
+        {union}
+    """
+
+
+def _fft_peaks_oracle_sql() -> str:
+    """DuckDB mirror of functions/analysis.py:fft_top_peaks over the hourly
+    event-count series: naive DFT per (event_type, freq), top-5 by
+    (db DESC, freq ASC)."""
+    return """
+        WITH t1h AS (
+          SELECT event_type, date_trunc('hour', ts) AS b,
+                 count(*)::DOUBLE AS n
+          FROM events GROUP BY 1, 2
+        ), series AS (
+          SELECT event_type,
+                 n - avg(n) OVER (PARTITION BY event_type) AS x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS p,
+                 count(*) OVER (PARTITION BY event_type) AS len
+          FROM t1h
+        ), freqs AS (
+          SELECT event_type, len, unnest(range(1, len // 2 + 1)) AS k
+          FROM (SELECT DISTINCT event_type, len FROM series)
+        ), terms AS (
+          SELECT f.event_type, f.k,
+                 sum(s.x * cos(2 * pi() * f.k * s.p / f.len)) AS re,
+                 sum(s.x * sin(2 * pi() * f.k * s.p / f.len)) AS im
+          FROM freqs f JOIN series s USING (event_type)
+          GROUP BY 1, 2
+        ), mags AS (
+          SELECT event_type, k,
+                 20 * log10(greatest(sqrt(re * re + im * im), 1e-12)) AS db
+          FROM terms
+        ), ranked AS (
+          SELECT event_type, k, db,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY db DESC, k) AS rk
+          FROM mags
+        )
+        SELECT event_type, CAST(k AS INT) AS freq_index,
+               round(db, 4) AS magnitude_db
+        FROM ranked WHERE rk <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1173,4 +1402,87 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, c_custkey
             LIMIT 10
         """,
+        # ---------------------------------------------- formerly rows-only
+        "interpolate_hourly": """
+            WITH t1h AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                     avg(value) AS mv
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(bucket_start) AS t0, max(bucket_start) AS t1
+              FROM t1h GROUP BY 1
+            ), spine AS (
+              SELECT b.event_type,
+                     unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR))
+                       AS bucket_start
+              FROM bounds b
+            ), filled AS (
+              SELECT s.event_type, s.bucket_start, t.mv
+              FROM spine s LEFT JOIN t1h t
+                ON s.event_type = t.event_type
+               AND s.bucket_start = t.bucket_start
+            ), pos AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY bucket_start) AS p
+              FROM filled
+            ), ctx AS (
+              SELECT event_type, bucket_start, mv, p,
+                last_value(mv IGNORE NULLS) OVER wf AS prev_val,
+                last_value(CASE WHEN mv IS NOT NULL THEN p END IGNORE NULLS)
+                  OVER wf AS prev_pos,
+                first_value(mv IGNORE NULLS) OVER wb AS next_val,
+                first_value(CASE WHEN mv IS NOT NULL THEN p END IGNORE NULLS)
+                  OVER wb AS next_pos
+              FROM pos
+              WINDOW wf AS (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wb AS (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type, bucket_start,
+              round(CASE WHEN mv IS NOT NULL THEN mv
+                         WHEN next_pos IS NULL THEN prev_val
+                         WHEN prev_pos IS NULL THEN NULL
+                         ELSE prev_val + (next_val - prev_val)
+                              * ((p - prev_pos) / (next_pos - prev_pos))
+                    END, 6) AS mean_v
+            FROM ctx
+        """,
+        "ema_unbias": """
+            WITH lv AS (
+              SELECT event_id, event_type, value,
+                     list(value) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN 699 PRECEDING
+                                                AND CURRENT ROW) AS l
+              FROM events
+            )
+            SELECT event_id, event_type,
+                   round(value -
+                     list_sum(list_transform(
+                       l, (x, i) -> x * pow(0.9, len(l) - i)))
+                     / list_sum(list_transform(
+                       l, (x, i) -> CASE WHEN x IS NULL THEN NULL
+                                         ELSE pow(0.9, len(l) - i) END)),
+                     4) AS v_unbiased
+            FROM lv
+        """,
+        "minhash_neardups": _minhash_oracle_sql(),
+        "simhash_neardups": _simhash_oracle_sql(),
+        "tier_compression_roundtrip": """
+            -- lossless-codec invariant: the decoded 1h tier must equal the
+            -- directly-aggregated 1h tier, so the per-source totals of the
+            -- decode output must match this direct aggregation
+            WITH tier AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS b,
+                     sum(value) AS sum_v
+              FROM events GROUP BY 1, 2
+            )
+            SELECT source, count(*) AS n_buckets,
+                   round(sum(sum_v), 4) AS sum_v_total
+            FROM tier GROUP BY 1
+        """,
+        "mutual_info": _mutual_info_oracle_sql(),
+        "fft_peaks": _fft_peaks_oracle_sql(),
+        "lsh_topk": _lsh_topk_oracle_sql(),
     }

@@ -102,7 +102,9 @@ def fft_top_peaks(
             return pd.DataFrame({f.name: [] for f in out_schema.fields})
         mag = np.abs(np.fft.rfft(x - x.mean()))[1:]  # drop DC
         db = 20 * np.log10(np.maximum(mag, 1e-12))
-        order = np.argsort(-db)[:top_k]
+        # stable (db desc, freq asc) ordering — deterministic and identical
+        # to the SQL oracle's ORDER BY db DESC, freq ASC
+        order = np.lexsort((np.arange(len(db)), -db))[:top_k]
         rows = {c: [pdf[c].iloc[0]] * len(order) for c in sc}
         rows["peak_rank"] = np.arange(1, len(order) + 1, dtype=np.int32)
         rows["freq_index"] = (order + 1).astype(np.int32)

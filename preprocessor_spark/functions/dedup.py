@@ -1,9 +1,13 @@
 """Deduplication suite for document corpora — exact, word-set, MinHash+LSH,
 SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
 
-All set/hash machinery is native Spark expressions (xxhash64, array ops);
-the only pandas stage is the SimHash bit-vote (numpy-vectorized per Arrow
-batch). Scale notes per operator are inline — the unifying principle: never
+All machinery is native Spark expressions (no Python in the row path).
+Near-duplicate operators (MinHash, SimHash) derive their hash families from
+md5 arithmetic (see functions/hashing.py) so any SQL engine can reproduce
+the exact signatures, candidate sets and verified pairs — the operators are
+fully oracle-checkable, not merely rows-only.
+
+Scale notes per operator are inline — the unifying principle: never
 materialize O(n²) candidate pairs; LSH band-bucket joins bound candidates to
 colliding buckets only, and every self-join keys on a hash bucket so AQE can
 handle bucket skew.
@@ -11,13 +15,16 @@ handle bucket skew.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from preprocessor_spark.functions.hashing import md5_h31, md5_h60, perm_hash
 from preprocessor_spark.functions.text import words
+
+SIMHASH_BITS = 60  # md5_h60 yields 60 usable bits — 4 pigeonhole chunks of 15
 
 
 # ------------------------------------------------------------------ exact
@@ -62,42 +69,59 @@ def dedup_word_set(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 # ---------------------------------------------------------------- shingles
 def char_shingles(text_col: str = "text", k: int = 5) -> F.Column:
-    """Distinct k-char shingles as an array of 64-bit hashes — native
+    """Distinct k-char shingles of the lowercased text, as strings — native
     transform over a positions sequence."""
     t = F.lower(F.col(text_col))
     n = F.length(t)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.substring(t, i, k)))
-    )
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, k)))
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-word shingles as space-joined strings (portable across
+    engines: DuckDB mirrors with list slicing + array_to_string)."""
     ws = words(text_col)
     n = F.size(ws)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.xxhash64(F.slice(ws, i, k))))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    )
 
 
 # ------------------------------------------------------------ MinHash + LSH
 def minhash_signature(shingles: F.Column, num_hashes: int = 64) -> F.Column:
-    """num_hashes-wide MinHash signature: min over xxhash64(shingle, seed_i).
+    """num_hashes-wide MinHash signature over an array of shingle STRINGS.
 
-    Shape matters: ONE transform producing a 64-hash array per shingle, then
-    an elementwise-min fold. The naive `array(*[array_min(transform(...))
-    for i in 64])` references the shingle expression 64 times — Catalyst's
-    CollapseProject inlines it and recomputes the shingles 64x per row.
-    Here the shingle column appears exactly once, so the plan stays linear
-    in |shingles| regardless of projection collapsing. No UDF, no explode."""
+    One md5 digest per shingle; the permutation family is double hashing
+    ``g_i = (h1 + i·h2s) mod (2^61−1)`` (hashing.py) — NOT one digest per
+    permutation, so hash work is O(|shingles|), not O(64·|shingles|).
+    Expression-level variant (higher-order functions, interpreted path);
+    the pipeline in :func:`minhash_lsh_pairs` uses the exploded + codegen'd
+    min-aggregate shape instead, with bit-identical values."""
+    from preprocessor_spark.functions.hashing import H2_MASK, MERSENNE61
+
     per_shingle = F.transform(
         shingles,
-        lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 17, 15), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(H2_MASK))
+            .alias("h2"),
+        ),
     )
-    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
+    init = F.array(*[F.lit(MERSENNE61).cast("long")] * num_hashes)
     return F.aggregate(
         per_shingle,
         init,
-        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: (h["h1"] + i * h["h2"]) % F.lit(MERSENNE61),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -112,13 +136,28 @@ def minhash_lsh_pairs(
     shingle_mode: str = "char",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding:
-      shingle → signature → band-hash → self-join per band bucket →
+      shingle → signature → band key → self-join per band bucket →
       exact-Jaccard verification on the colliding candidates only.
 
-    Scale: the self-join keys on (band_id, band_hash) so only colliding
-    docs meet; candidate verification re-computes true Jaccard from the
-    shingle arrays carried with each side. ~(threshold, bands, rows/band)
-    tuned by the standard S-curve 1-(1-s^r)^b."""
+    Hash design (one md5 per shingle + double-hashed permutations) cuts the
+    per-shingle hash work 64× vs a digest-per-permutation lattice, and makes
+    the whole pipeline reproducible in plain SQL: signatures, band keys,
+    candidates and the verified Jaccard are all md5+integer arithmetic.
+
+    Scale: the self-join keys on (band_id, band_key) so only colliding docs
+    meet; verification intersects the DISTINCT shingle-hash sets (60-bit
+    md5 values — collision-free in practice) carried from the single
+    signature aggregate. ~(threshold, bands, rows/band) tuned by the
+    standard S-curve 1-(1-s^r)^b.
+
+    Caching contract: the signature DataFrame is persisted because it feeds
+    the band join (both sides) and the verification join. It is attached to
+    the returned DataFrame as ``._minhash_sig_cache``; callers that consume
+    the result eagerly should call ``release_minhash_cache(result)`` (the
+    bench/driver jobs do). Left persisted, it is reclaimed by Spark's LRU
+    block eviction — MEMORY_AND_DISK would otherwise pin executor storage
+    for the session.
+    """
     rows_per_band = num_hashes // bands
     mk_shingles = char_shingles if shingle_mode == "char" else word_shingles
     # lift single-small-file inputs to full parallelism before the CPU-heavy
@@ -126,30 +165,28 @@ def minhash_lsh_pairs(
     target_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target_parts:
         df = df.repartition(target_parts, id_col)
-    base = df.select(
-        F.col(id_col),
-        mk_shingles(text_col, shingle_k).alias("__sh"),
-    ).persist()  # shingles feed the signature AND both verification sides
-    # signature via explode + 64 codegen'd min-aggregates: higher-order
-    # array lambdas (transform/aggregate/zip_with) run on the INTERPRETED
-    # expression path — an order of magnitude slower than whole-stage
-    # codegen. The exploded shape keeps every xxhash64 + min inside
-    # codegen, and the partial (map-side) agg collapses each task to one
-    # row per doc before the shuffle. Values are bit-identical to
-    # minhash_signature (same xxhash64(shingle_hash, seed_i) lattice).
-    exploded = base.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    # one md5 per distinct shingle; signature via explode + num_hashes
+    # codegen'd min-aggregates (higher-order array lambdas run on the
+    # INTERPRETED expression path — an order of magnitude slower than
+    # whole-stage codegen). The partial (map-side) agg collapses each task
+    # to one row per doc before the shuffle. collect_set(h1) rides the same
+    # aggregate, so the shingle sets needed for verification shuffle as
+    # compact long-arrays, never the raw shingle strings.
+    exploded = df.select(
+        F.col(id_col), F.explode(mk_shingles(text_col, shingle_k)).alias("__s")
+    ).select(
+        id_col, md5_h60("__s").alias("__h1"), md5_h31("__s").alias("__h2")
+    )
     sig = (
         exploded.groupBy(id_col)
         .agg(
             *[
-                F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}")
+                F.min(perm_hash(F.col("__h1"), F.col("__h2"), i)).alias(f"__g{i}")
                 for i in range(num_hashes)
-            ]
+            ],
+            F.collect_set("__h1").alias("__sh"),
         )
-        .select(
-            id_col,
-            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
-        )
+        .persist()
     )
     banded = sig.select(
         id_col,
@@ -158,8 +195,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("__sig", b * rows_per_band + 1, rows_per_band)
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"__g{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -184,66 +225,69 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification: attach shingles to the (few) surviving candidates only
-    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # verification: attach shingle-hash sets to the (few) surviving
+    # candidates only; true Jaccard over the DISTINCT sets
+    sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._minhash_sig_cache = sig  # see caching contract in the docstring
+    return out
+
+
+def release_minhash_cache(result: DataFrame) -> None:
+    """Unpersist the signature cache attached by :func:`minhash_lsh_pairs`.
+    Call after eagerly consuming the result."""
+    cached = getattr(result, "_minhash_sig_cache", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 # ----------------------------------------------------------------- SimHash
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: per-word xxhash64, bit-vote, sign.
-    Vectorized numpy inside mapInPandas (bit unpacking of 64-bit lanes is
-    not expressible as native Spark array ops without 64 aggregates/row)."""
-    src = df.select(id_col, words(text_col).alias("__ws"))
-    out_schema = T.StructType(
-        [src.schema[id_col], T.StructField("simhash", T.LongType())]
+    """60-bit SimHash per document: per-distinct-word md5-derived hash,
+    bit-vote, sign — entirely native expressions (explode → 60 codegen'd
+    sum-aggregates), no Python anywhere in the path.
+
+    The bit-vote is ``vote_i = Σ_words (2·bit_i(h) − 1)``; signature bit i
+    is set iff vote_i > 0. Word multiplicity is intentionally ignored
+    (set semantics — consistent with dedup_word_set), which also keeps the
+    SQL mirror exact. Documents with no words hash to 0."""
+    hashed = (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("__w")
+        )
+        .filter(F.length("__w") > 0)
+        .select(id_col, md5_h60("__w").alias("__h"))
     )
-
-    def compute(iterator):
-        for pdf in iterator:
-            ids, sims = [], []
-            for i, ws in zip(pdf[id_col], pdf["__ws"]):
-                ws = [w for w in ws if w]
-                if not ws:
-                    ids.append(i)
-                    sims.append(0)
-                    continue
-                # stable 64-bit word hashes (FNV-1a — process-independent)
-                h = np.array([hash64(w) for w in ws], dtype=np.uint64)
-                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sim = int(
-                    np.bitwise_or.reduce(
-                        (votes > 0).astype(np.uint64)
-                        << np.arange(64, dtype=np.uint64)
-                    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright("__h", i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"__v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = votes.select(
+        F.col(id_col),
+        reduce(
+            add,
+            [
+                F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
                 )
-                if sim >= 1 << 63:  # reinterpret as signed for LongType
-                    sim -= 1 << 64
-                ids.append(i)
-                sims.append(sim)
-            yield pd.DataFrame({id_col: ids, "simhash": np.array(sims, np.int64)})
-
-    return src.mapInPandas(compute, out_schema)
-
-
-def hash64(w: str) -> int:
-    """Deterministic unsigned 64-bit FNV-1a string hash — stable across
-    processes (Python's builtin hash() is salted per process, unusable)."""
-    h = 0xCBF29CE484222325
-    for b in w.encode("utf-8"):
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+                for i in range(SIMHASH_BITS)
+            ],
+        ).alias("simhash"),
+    )
+    return df.select(id_col).join(sig, id_col, "left").na.fill({"simhash": 0})
 
 
 def simhash_near_dups(
@@ -252,9 +296,9 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash: block on 4×16-bit chunks (any
-    pair within hamming ≤ 3 of 64 bits shares ≥ one identical 16-bit chunk
-    by pigeonhole), verify hamming on candidates."""
+    """Candidate near-dup pairs by SimHash: block on 4×15-bit chunks (any
+    pair within hamming ≤ 3 of 60 bits shares ≥ one identical 15-bit chunk
+    by pigeonhole), verify hamming on candidates. Fully SQL-mirrorable."""
     sh = simhash(df, text_col, id_col)
     chunks = sh.select(
         id_col,
@@ -264,8 +308,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("cv"),
                     )
                     for i in range(4)
@@ -308,7 +352,8 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-duplicate vectors: random-hyperplane LSH bucket join + exact
     cosine verification. Hyperplanes are derived deterministically from
-    (seed, plane, dim) hashes — no driver-side random state to broadcast."""
+    (seed, plane, dim) md5 hashes — no driver-side random state to
+    broadcast, and reproducible in plain SQL."""
     from preprocessor_spark.functions.similarity import cosine, lsh_bucket
 
     base = df.select(id_col, emb_col).withColumn(

@@ -58,9 +58,21 @@ def brute_force_topk(
 
 
 def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(seed), F.lit(plane), dim_idx)
-    return (h % 10_000_019).cast("double") / 5_000_009.5 - 1.0
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    md5-derived (hashing.py) so a SQL oracle reproduces the exact planes:
+    DuckDB ``('0x'||substr(md5('plane:'||seed||':'||p||':'||d),1,15))::BIGINT
+    / 2^59 - 1.0``. The 60-bit integer→double conversion and the division
+    by an exact power of two round identically under IEEE-754 everywhere."""
+    key = F.concat_ws(
+        ":",
+        F.lit("plane"),
+        F.lit(str(seed)),
+        F.lit(str(plane)),
+        dim_idx.cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return h / F.lit(float(2**59)) - 1.0
 
 
 def lsh_bucket(emb: Column, num_planes: int = 8, seed: int = 42) -> Column:
@@ -89,10 +101,15 @@ def lsh_topk(
     id_col: str = "vec_id",
     num_planes: int = 8,
     seed: int = 42,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket. At corpus
     scale the table is written bucketed/partitioned by the signature, so
-    this is a partition-pruned scan of ~n/2^planes vectors."""
+    this is a partition-pruned scan of ~n/2^planes vectors.
+
+    ``round_digits`` rounds the cosine BEFORE the (cosine desc, id) ordering
+    so the ranking is reproducible across engines whose float summation
+    order differs (the oracle-comparison mode)."""
     # compute the query's bucket with the same deterministic expressions, on
     # a 1-row DataFrame (avoids reimplementing the hash in Python)
     spark = df.sparkSession
@@ -103,13 +120,13 @@ def lsh_topk(
         0
     ]["b"]
     q = F.array(*[F.lit(float(x)) for x in query])
+    cos = cosine(F.col(emb_col).cast("array<double>"), q)
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     return (
         df.withColumn("__bucket", lsh_bucket(F.col(emb_col), num_planes, seed))
         .filter(F.col("__bucket") == qbucket)
-        .select(
-            F.col(id_col),
-            cosine(F.col(emb_col).cast("array<double>"), q).alias("cosine"),
-        )
+        .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -127,40 +144,47 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: centroids sampled deterministically (first vector of each
     xxhash64 bucket), vectors assigned to nearest centroid, query probes the
-    nprobe nearest cells. Centroids are tiny → broadcast join."""
+    nprobe nearest cells.
+
+    Cell assignment is a single shuffle-free projection: the (tiny) centroid
+    set is collected once and inlined as literal arrays, every vector scores
+    all centroids in one expression and takes the argmax natively
+    (array_position of array_max over the similarity array). No crossJoin,
+    no per-vector window — the plan has zero Exchanges before the final
+    top-k. At corpus scale the table is written partitioned by __cell so the
+    probe is partition-pruned."""
     cents = (
         df.withColumn("__cell", F.abs(F.xxhash64(F.lit(seed), F.col(id_col))) % num_cells)
         .groupBy("__cell")
         .agg(F.min_by(emb_col, id_col).alias("centroid"))
-    )
-    with_cell = (
-        df.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "__d",
-            cosine(F.col(emb_col).cast("array<double>"), F.col("centroid").cast("array<double>")),
-        )
-        .withColumn(
-            "__rk",
-            F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("__d"))),
-        )
-        .filter(F.col("__rk") == 1)
-        .select(id_col, emb_col, "__cell")
-    )
-    q = F.array(*[F.lit(float(x)) for x in query])
-    probe_cells = [
-        r["__cell"]
-        for r in cents.select(
-            "__cell", cosine(F.col("centroid").cast("array<double>"), q).alias("d")
-        )
-        .orderBy(F.desc("d"))
-        .limit(nprobe)
         .collect()
+    )
+    cents.sort(key=lambda r: r["__cell"])
+    cell_ids = [r["__cell"] for r in cents]
+    cent_lits = [
+        F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cents
     ]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    emb_d = F.col(emb_col).cast("array<double>")
+    sims = F.array(*[cosine(emb_d, c) for c in cent_lits])
+    # argmax over the literal-centroid similarity array → index into cell_ids
+    cell_arr = F.array(*[F.lit(c) for c in cell_ids])
+    assigned = df.withColumn(
+        "__cell", F.element_at(cell_arr, F.array_position(sims, F.array_max(sims)).cast("int"))
+    )
+    q_sims = sorted(
+        ((r["__cell"], sum(a * b for a, b in zip(r["centroid"], query))
+          / ((sum(a * a for a in r["centroid"]) ** 0.5)
+             * (sum(b * b for b in query) ** 0.5)))
+         for r in cents),
+        key=lambda t: -t[1],
+    )
+    probe_cells = [c for c, _ in q_sims[:nprobe]]
     return (
-        with_cell.filter(F.col("__cell").isin(probe_cells))
+        assigned.filter(F.col("__cell").isin(probe_cells))
         .select(
             F.col(id_col),
-            cosine(F.col(emb_col).cast("array<double>"), q).alias("cosine"),
+            cosine(emb_d, q).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
