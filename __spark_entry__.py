@@ -805,8 +805,7 @@ def _simhash_oracle_sql() -> str:
     return """
         WITH w AS (
           SELECT doc_id,
-                 unnest(list_distinct(string_split_regex(lower(text), '\\s+')))
-                   AS word
+                 unnest(string_split_regex(lower(text), '\\s+')) AS word
           FROM documents
         ), h AS (
           SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h

@@ -150,13 +150,13 @@ def minhash_lsh_pairs(
     signature aggregate. ~(threshold, bands, rows/band) tuned by the
     standard S-curve 1-(1-s^r)^b.
 
-    Caching contract: the signature DataFrame is persisted because it feeds
-    the band join (both sides) and the verification join. It is attached to
-    the returned DataFrame as ``._minhash_sig_cache``; callers that consume
-    the result eagerly should call ``release_minhash_cache(result)`` (the
-    bench/driver jobs do). Left persisted, it is reclaimed by Spark's LRU
-    block eviction — MEMORY_AND_DISK would otherwise pin executor storage
-    for the session.
+    Caching contract: the hashed-shingle table and the signature DataFrame
+    are persisted (the shingle hashes feed the signature aggregate AND both
+    verification joins; the signatures feed both sides of the band join).
+    They are attached to the returned DataFrame as ``._minhash_caches``;
+    callers that consume the result eagerly should call
+    ``release_minhash_cache(result)`` (the bench/driver jobs do). Left
+    persisted, they are reclaimed by Spark's LRU block eviction.
     """
     rows_per_band = num_hashes // bands
     mk_shingles = char_shingles if shingle_mode == "char" else word_shingles
@@ -165,26 +165,29 @@ def minhash_lsh_pairs(
     target_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target_parts:
         df = df.repartition(target_parts, id_col)
-    # one md5 per distinct shingle; signature via explode + num_hashes
-    # codegen'd min-aggregates (higher-order array lambdas run on the
-    # INTERPRETED expression path — an order of magnitude slower than
-    # whole-stage codegen). The partial (map-side) agg collapses each task
-    # to one row per doc before the shuffle. collect_set(h1) rides the same
-    # aggregate, so the shingle sets needed for verification shuffle as
-    # compact long-arrays, never the raw shingle strings.
-    exploded = df.select(
-        F.col(id_col), F.explode(mk_shingles(text_col, shingle_k)).alias("__s")
-    ).select(
-        id_col, md5_h60("__s").alias("__h1"), md5_h31("__s").alias("__h2")
+    # one md5 per distinct shingle, cached as compact (id, h1, h2) longs —
+    # 24 bytes per shingle, never the raw shingle strings
+    hashed = (
+        df.select(
+            F.col(id_col), F.explode(mk_shingles(text_col, shingle_k)).alias("__s")
+        )
+        .select(id_col, md5_h60("__s").alias("__h1"), md5_h31("__s").alias("__h2"))
+        .persist()
     )
+    # signature via num_hashes codegen'd min-aggregates. Two shapes were
+    # rejected: higher-order array lambdas (transform/aggregate) run on the
+    # INTERPRETED expression path, and carrying a collect_set in this same
+    # aggregate demotes the WHOLE agg to ObjectHashAggregateExec (any typed
+    # imperative function disables codegen HashAggregate) — measured ~2x
+    # slower. The partial (map-side) agg collapses each task to one row per
+    # doc before the shuffle.
     sig = (
-        exploded.groupBy(id_col)
+        hashed.groupBy(id_col)
         .agg(
             *[
                 F.min(perm_hash(F.col("__h1"), F.col("__h2"), i)).alias(f"__g{i}")
                 for i in range(num_hashes)
-            ],
-            F.collect_set("__h1").alias("__sh"),
+            ]
         )
         .persist()
     )
@@ -225,45 +228,59 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification: attach shingle-hash sets to the (few) surviving
-    # candidates only; true Jaccard over the DISTINCT sets
-    sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # verification: true Jaccard over the distinct shingle-hash sets,
+    # computed as JOINS against the compact hashed table — intersection =
+    # per-pair match count of h1 values, union = n_a + n_b − inter. The
+    # candidate set is small (band collisions only), so the first join
+    # broadcasts it; no shingle ARRAYS are ever built or shuffled.
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    ha = hashed.select(F.col(id_col).alias("id_a"), "__h1")
+    hb = hashed.select(F.col(id_col).alias("id_b"), "__h1")
+    inter = (
+        cand.join(ha, "id_a")
+        .join(hb, ["id_b", "__h1"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     out = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", inter / union)
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"__inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._minhash_sig_cache = sig  # see caching contract in the docstring
+    out._minhash_caches = (hashed, sig)  # see caching contract above
     return out
 
 
 def release_minhash_cache(result: DataFrame) -> None:
-    """Unpersist the signature cache attached by :func:`minhash_lsh_pairs`.
+    """Unpersist the caches attached by :func:`minhash_lsh_pairs`.
     Call after eagerly consuming the result."""
-    cached = getattr(result, "_minhash_sig_cache", None)
-    if cached is not None:
+    for cached in getattr(result, "_minhash_caches", ()):
         cached.unpersist()
 
 
 # ----------------------------------------------------------------- SimHash
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """60-bit SimHash per document: per-distinct-word md5-derived hash,
-    bit-vote, sign — entirely native expressions (explode → 60 codegen'd
+    """60-bit SimHash per document: per-word md5-derived hash, bit-vote,
+    sign — entirely native expressions (explode → 60 codegen'd
     sum-aggregates), no Python anywhere in the path.
 
-    The bit-vote is ``vote_i = Σ_words (2·bit_i(h) − 1)``; signature bit i
-    is set iff vote_i > 0. Word multiplicity is intentionally ignored
-    (set semantics — consistent with dedup_word_set), which also keeps the
-    SQL mirror exact. Documents with no words hash to 0."""
+    The bit-vote is ``vote_i = Σ_words (2·bit_i(h) − 1)`` over ALL word
+    occurrences (bag semantics — classic frequency-weighted SimHash);
+    signature bit i is set iff vote_i > 0. Multiplicity weighting matters:
+    set semantics collapses template-heavy corpora (documents sharing most
+    of a vocabulary land within a few hamming bits of each other even when
+    their texts differ). Documents with no words hash to 0."""
     hashed = (
-        df.select(
-            F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("__w")
-        )
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("__w"))
         .filter(F.length("__w") > 0)
         .select(id_col, md5_h60("__w").alias("__h"))
     )

@@ -30,6 +30,52 @@ import time
 from pyspark.sql import functions as F
 
 
+def _proc_tree_cpu_seconds() -> float | None:
+    """Total CPU seconds (utime+stime) of this job's process tree: the
+    python driver, the JVM (the driver's parent under spark-submit), and
+    all python workers. Supplementary CPU-work metric for the scaling
+    evidence — two configs doing the same work should burn ~equal CPU; a
+    CPU ratio ≫ 1 at 4N separates work inflation (engine-controllable)
+    from memory-bandwidth contention (host artifact). Approximate: CPU of
+    already-reaped children is excluded."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        stats: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                # fields after comm: state(0) ppid(1) ... utime(11) stime(12)
+                stats[int(p)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+            except (OSError, IndexError, ValueError):
+                continue
+        me = os.getpid()
+        roots = {me}
+        ppid = stats.get(me, (0, 0))[0]
+        try:  # include the launching JVM (and its python workers) only
+            with open(f"/proc/{ppid}/comm") as f:
+                if "java" in f.read():
+                    roots.add(ppid)
+        except OSError:
+            pass
+        children: dict[int, list[int]] = {}
+        for pid, (pp, _) in stats.items():
+            children.setdefault(pp, []).append(pid)
+        seen: set[int] = set()
+        stack = list(roots)
+        while stack:
+            pid = stack.pop()
+            if pid in seen:
+                continue
+            seen.add(pid)
+            stack.extend(children.get(pid, []))
+        return sum(stats[p][1] for p in seen if p in stats) / tick
+    except (OSError, ValueError):
+        return None
+
+
 def main(argv: list[str] | None = None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="token_sequences parquet dir")
@@ -108,12 +154,22 @@ def main(argv: list[str] | None = None) -> dict:
     # would multiply the most shuffle-heavy stage. This is also the honest
     # metric boundary — "rolled-up points/sec per retention tier" measures
     # the rollup, with preprocessing reported as its own stage.
+    # The prepared intermediate carries ONLY the columns the rollup tree
+    # reads — (ts, source, n_tok_z). Narrower row groups cut tier-0
+    # scan/decode (the probe-identified bottleneck of the N→4N scaling
+    # measurement); a doc-level normalized corpus with ids/splits is a
+    # different sink, written by the CLI pipeline when asked for.
+    # sortWithinPartitions keeps each file run-length-friendly (source
+    # dictionary runs, near-monotone ts → tight parquet encodings) without
+    # an extra shuffle.
     prepared_path = os.path.join(out, "prepared")
     t0 = time.perf_counter()
     if not (args.resume and os.path.exists(os.path.join(prepared_path, "_SUCCESS"))):
         unb.transform(normed).select(
-            "doc_id", "ts", "source", "n_tok", "n_tok_z", "split_id"
-        ).write.mode("overwrite").parquet(prepared_path)
+            "ts", "source", "n_tok_z"
+        ).sortWithinPartitions("source", "ts").write.mode("overwrite").parquet(
+            prepared_path
+        )
     prepare_seconds = round(time.perf_counter() - t0, 3)
     prepared = spark.read.parquet(prepared_path)
 
@@ -158,9 +214,30 @@ def main(argv: list[str] | None = None) -> dict:
         ]
         bounds_seconds = round(time.perf_counter() - t0, 3)
         sources = sorted(r[0] for r in bounds_rows)
+        cores = spark.sparkContext.defaultParallelism
+
+        def spine_size(step: int) -> int:
+            # exact gap-filled row count per tier, known on the driver from
+            # the bounds: floor-to-lattice both ends, count buckets
+            return sum(
+                ((t1 - t1 % step) - (t0 - t0 % step)) // step + 1
+                for *_series, t0, t1 in bounds_rows
+            )
 
         for i, tier in enumerate(DEFAULT_TIERS):
             tier_path = os.path.join(tree_out, f"tier_{tier.name}")
+            step = duration_seconds(tier.duration)
+            # gap-filled output is exactly the spine → size every stage of
+            # this tier (spine partitions, write tasks) to the real row
+            # count instead of |cores|-shaped defaults: coarse tiers run as
+            # 1-2 tasks per stage, removing the fixed scheduling cost that
+            # capped their N→4N efficiency at ~0.25
+            exp_rows = spine_size(step)
+            from preprocessor_spark.rollup.checkpoint import ROWS_PER_WRITE_TASK
+
+            spine_parts = max(
+                1, min(cores * 2, -(-exp_rows // ROWS_PER_WRITE_TASK))
+            )
             if i > 0:
                 t0 = time.perf_counter()
                 # re-aggregate from the previous tier's checkpointed output
@@ -179,7 +256,7 @@ def main(argv: list[str] | None = None) -> dict:
             else:
                 cur = tree.base_aggregate(prepared, tier)
             spine = spine_from_bounds(
-                spark, bounds_rows, ["source"], duration_seconds(tier.duration)
+                spark, bounds_rows, ["source"], step, num_partitions=spine_parts
             )
             filled = spine.join(
                 cur, on=["source", "bucket_start"], how="left"
@@ -192,6 +269,7 @@ def main(argv: list[str] | None = None) -> dict:
                 out_path=tier_path,
                 manifest=tree_manifest,
                 values=sources,
+                expected_rows=exp_rows,
             )
             tier_rows = sum(
                 r["rows"]
@@ -224,7 +302,12 @@ def main(argv: list[str] | None = None) -> dict:
         run_tier_tree(warm_out, Manifest(os.path.join(warm_out, "m.jsonl")))
         _sh.rmtree(warm_out, ignore_errors=True)
 
+    cpu0 = _proc_tree_cpu_seconds()
     tier_metrics = run_tier_tree(out, manifest)
+    cpu1 = _proc_tree_cpu_seconds()
+    rollup_cpu_seconds = (
+        round(cpu1 - cpu0, 3) if cpu0 is not None and cpu1 is not None else None
+    )
 
     # -- compression of the finest tier -----------------------------------
     t0 = time.perf_counter()
@@ -250,6 +333,10 @@ def main(argv: list[str] | None = None) -> dict:
         "prepare_seconds": prepare_seconds,
         "prepare_points_per_sec": round(n_rows / max(prepare_seconds, 1e-9)),
         "rollup_points_per_sec": round(n_rows / max(rollup_seconds, 1e-9)),
+        # CPU burned by the whole process tree during the rollup phase —
+        # the supplementary work metric for the scaling evidence (equal
+        # work at N and 4N ⇒ ratio ≈ 1; see _proc_tree_cpu_seconds)
+        "rollup_cpu_seconds": rollup_cpu_seconds,
         "tiers": tier_metrics,
         "compress_seconds": compress_seconds,
         "lineage_rows": len(manifest.lineage()),

@@ -67,18 +67,32 @@ class Manifest:
             return [json.loads(line) for line in f]
 
 
-def _write_layout(df: DataFrame, partition_col: str) -> DataFrame:
+ROWS_PER_WRITE_TASK = 500_000  # ~25-30 MB of tier rows per output task
+
+
+def _write_layout(
+    df: DataFrame, partition_col: str, expected_rows: int | None = None
+) -> DataFrame:
     """Shape a Hive-partitioned write: without an explicit repartition, a
     ``partitionBy`` write opens one file per (task, partition value) —
     S×P tiny files plus per-task concurrent-writer sorting, which measured
     ~4x slower than a shaped write at bench scale. Hashing on
     (partition_col, remaining cols' first) bounds tasks to ~|cores| while
     still spreading a hot partition value across tasks (skew-safe, unlike
-    repartition(partition_col) alone)."""
+    repartition(partition_col) alone).
+
+    ``expected_rows`` (when the caller knows the output size — e.g. a
+    gap-filled tier is exactly its spine size) caps the task count to
+    ceil(rows / ROWS_PER_WRITE_TASK): a 46k-row coarse tier writes as ONE
+    task instead of |cores| near-empty ones. Fixed per-task scheduling on
+    tiny tiers was the dominant cost capping N→4N scaling efficiency."""
     cores = df.sparkSession.sparkContext.defaultParallelism
+    nparts = max(cores, 1)
+    if expected_rows is not None:
+        nparts = max(1, min(nparts, -(-int(expected_rows) // ROWS_PER_WRITE_TASK)))
     others = [c for c in df.columns if c != partition_col]
     keys = [partition_col, *others[:1]]
-    return df.repartition(max(cores, 1), *keys)
+    return df.repartition(nparts, *keys)
 
 
 def run_resumable_bulk(
@@ -146,6 +160,7 @@ def run_resumable_observed(
     out_path: str,
     manifest: Manifest,
     values: list,
+    expected_rows: int | None = None,
 ) -> dict[str, int]:
     """Like :func:`run_resumable_bulk` but lineage row counts come from an
     ``Observation`` attached to the write action itself — zero extra Spark
@@ -165,7 +180,7 @@ def run_resumable_observed(
     if not pending:
         return {}
     sub = df.filter(F.col(partition_col).isin(pending))
-    sub = _write_layout(sub, partition_col)
+    sub = _write_layout(sub, partition_col, expected_rows=expected_rows)
     obs = Observation(f"{stage}_counts")
     sub = sub.observe(
         obs,

@@ -194,6 +194,7 @@ def spine_from_bounds(
     period_seconds: int,
     time_col: str = "bucket_start",
     max_chunk: int = 8192,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Dense bucket spine built from per-series [t0, t1] epoch bounds that
     were collected ONCE (e.g. from the finest-tier aggregate) — no extra
@@ -223,9 +224,12 @@ def spine_from_bounds(
     # spread chunk rows across the cluster BEFORE the big inner explode:
     # without this the spine inherits ≤|series| partitions, so the hot
     # series' millions of buckets explode + sort for the gap-fill join in
-    # ONE task (measured as the dominant serial cost of the tier write)
+    # ONE task (measured as the dominant serial cost of the tier write).
+    # ``num_partitions`` lets the caller size this to the known spine row
+    # count — a few-thousand-bucket coarse tier needs 1 partition, not
+    # 2x|cores| near-empty ones (fixed scheduling cost on small tiers).
     cores = spark.sparkContext.defaultParallelism
-    chunked = chunked.repartition(max(cores * 2, 8))
+    chunked = chunked.repartition(num_partitions or max(cores * 2, 8))
     return chunked.select(
         *series_cols,
         F.explode(

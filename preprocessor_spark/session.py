@@ -24,6 +24,11 @@ _DEFAULT_CONFS = {
     # task-scheduling overhead
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "33554432",
+    # let AQE coalesce the plans that FEED a cache too — otherwise a tiny
+    # aggregate persisted at shuffle.partitions granularity (e.g. a 46k-row
+    # tier cached as 128 near-empty blocks) makes every downstream scan pay
+    # 128 tasks of scheduling overhead
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: keep row groups aligned with partition sizing at scale.

@@ -362,12 +362,21 @@ def main():
         )
         for t in rN["tiers"]
     }
+    cpu_n, cpu_4n = rN.get("rollup_cpu_seconds"), r4N.get("rollup_cpu_seconds")
     summary = {
         "rows": rN["input_rows"],
         "n_cores": args.n,
         "rollup_throughput_N": rN["rollup_points_per_sec"],
         "rollup_throughput_4N": r4N["rollup_points_per_sec"],
         "efficiency_rollup": round(eff_rollup, 3),
+        # CPU-work view: both configs do the same logical work, so the CPU
+        # burned should be ~equal; ratio > 1 at 4N quantifies work
+        # inflation (scheduling, GC, cache-miss stalls billed as CPU)
+        "rollup_cpu_seconds_N": cpu_n,
+        "rollup_cpu_seconds_4N": cpu_4n,
+        "cpu_work_ratio_4N_over_N": (
+            round(cpu_4n / cpu_n, 3) if cpu_n and cpu_4n else None
+        ),
         # prepare eff is meaningless in rollup-phase mode (prepare skipped)
         "efficiency_prepare": (
             round(eff_prepare, 3) if args.phase == "full" else None
