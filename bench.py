@@ -58,8 +58,14 @@ EMA_ROWS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 
 def _consume(df) -> int:
     """Materialize a query like a real sink would (count forces full exec;
-    AQE finalizes the plan)."""
-    return df.count()
+    AQE finalizes the plan), then release any caches the operator attached
+    (the near-dup operators' caching contract) so persisted intermediates
+    don't accumulate across queries."""
+    n = df.count()
+    from preprocessor_spark.functions.dedup import release_caches
+
+    release_caches(df)
+    return n
 
 
 def main() -> None:

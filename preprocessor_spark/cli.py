@@ -58,12 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="six comma-separated ratios for d1..d6 (sum to 1.0)",
     )
+    # None sentinels: only explicit flags override config-file values
+    # (reference precedence, app/config_merger.py:18-57)
     p.add_argument(
-        "--split-method", choices=["temporal", "shuffle"], default="temporal"
+        "--split-method", choices=["temporal", "shuffle"], default=None
     )
     p.add_argument("--time-col", default=None)
     p.add_argument("--tiebreak-cols", default=None, help="comma-separated")
-    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seed", type=int, default=None)
     # normalization
     p.add_argument(
         "--normalization-method",
@@ -127,8 +129,10 @@ def merge_config(args: argparse.Namespace) -> dict[str, Any]:
         cfg["training_datasets"] = _csv_list(args.training_datasets)
     if args.output_format:
         cfg["output_format"] = args.output_format
-    cfg["split_method"] = args.split_method
-    cfg["seed"] = args.seed
+    if args.split_method is not None:
+        cfg["split_method"] = args.split_method
+    if args.seed is not None:
+        cfg["seed"] = args.seed
     return cfg
 
 

@@ -35,11 +35,21 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "split_ratios": DEFAULT_RATIOS,
     "time_col": "ts",
     "tiebreak_cols": [],
+    "split_method": "temporal",
+    "seed": 42,
     "normalization_method": "zscore",
     "normalization_columns": None,
     "exclude_features": [],
     "training_datasets": ["d1", "d2"],
     "min_rows": 1,
+    # load-time validation gates (reference data_handler.py:83-92,492-539);
+    # keys merge over metadata.DEFAULT_VALIDATION_RULES. None disables the
+    # data-pass checks entirely (schema-only), {} applies the defaults.
+    "validation_rules": {},
+    # opt-in FE-stage output contracts (row preservation + column superset,
+    # reference feature_engineering_plugin_base.py:227-266) — eager checks,
+    # meant for validation runs
+    "enforce_stage_contracts": False,
     "output_format": "parquet",
 }
 
@@ -60,7 +70,10 @@ class PreprocessorCore:
         self._data: DataFrame | None = None
         self._labeled: DataFrame | None = None
         self._norm_params: StageParams | None = None
-        self._pipeline = Pipeline(isolate_failures=True)
+        self._pipeline = Pipeline(
+            isolate_failures=True,
+            enforce_contracts=bool(self.config.get("enforce_stage_contracts")),
+        )
         self._status = "initialized"
 
     # -- load -------------------------------------------------------------
@@ -70,9 +83,27 @@ class PreprocessorCore:
             if isinstance(path_or_df, DataFrame)
             else load_data(self.spark, path_or_df, **kw)
         )
-        n = df.count()
-        if n < self.config["min_rows"]:
-            raise ValueError(f"dataset has {n} rows < min_rows")
+        # full rule-set validation (one aggregate pass, see
+        # metadata.validate_dataset); config min_rows remains the floor
+        # unless the rules override it
+        from preprocessor_spark.operators.metadata import validate_dataset
+
+        vr = self.config.get("validation_rules", {})
+        if vr is None:  # explicitly disabled: min_rows floor only
+            n = df.count()
+            self.validation_errors = (
+                [f"Insufficient rows: {n} < {self.config['min_rows']}"]
+                if n < self.config["min_rows"]
+                else []
+            )
+        else:
+            rules = {"min_rows": self.config["min_rows"]}
+            rules.update(vr)
+            self.validation_errors = validate_dataset(df, rules)
+        if self.validation_errors:
+            raise ValueError(
+                "data validation failed: " + "; ".join(self.validation_errors)
+            )
         self._data = df
         self._status = "loaded"
         return self
@@ -98,6 +129,8 @@ class PreprocessorCore:
             ratios=self.config["split_ratios"],
             time_col=self.config["time_col"],
             tiebreak_cols=self.config["tiebreak_cols"],
+            shuffle=self.config.get("split_method") == "shuffle",
+            seed=self.config.get("seed", 42),
         )
         labeled = splitter.transform(df)
         self._splitter = splitter
@@ -118,7 +151,11 @@ class PreprocessorCore:
         self._normalizer = norm
 
         # Stage D: postprocessing fold
-        post = Pipeline(isolate_failures=True, metrics=self._pipeline.metrics)
+        post = Pipeline(
+            isolate_failures=True,
+            enforce_contracts=self._pipeline.enforce_contracts,
+            metrics=self._pipeline.metrics,
+        )
         post.stages = list(self.post_stages)
         labeled = post.run(labeled)
 

@@ -256,15 +256,28 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._minhash_caches = (hashed, sig)  # see caching contract above
+    _attach_caches(out, (hashed, sig))  # see caching contract above
     return out
 
 
-def release_minhash_cache(result: DataFrame) -> None:
-    """Unpersist the caches attached by :func:`minhash_lsh_pairs`.
-    Call after eagerly consuming the result."""
-    for cached in getattr(result, "_minhash_caches", ()):
+def _attach_caches(result: DataFrame, caches: tuple) -> DataFrame:
+    """Attach persisted intermediates to a lazy result (caching contract:
+    consumers call :func:`release_caches` after materializing)."""
+    result._attached_caches = tuple(caches)
+    return result
+
+
+def release_caches(result: DataFrame) -> None:
+    """Unpersist intermediates attached by the near-dup operators
+    (:func:`minhash_lsh_pairs`, :func:`simhash_near_dups`). Call after
+    eagerly consuming the result; left persisted they pin executor storage
+    until Spark's LRU eviction reclaims them."""
+    for cached in getattr(result, "_attached_caches", ()):
         cached.unpersist()
+
+
+# back-compat alias for the original minhash-specific name
+release_minhash_cache = release_caches
 
 
 # ----------------------------------------------------------------- SimHash
@@ -315,8 +328,13 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash: block on 4×15-bit chunks (any
     pair within hamming ≤ 3 of 60 bits shares ≥ one identical 15-bit chunk
-    by pigeonhole), verify hamming on candidates. Fully SQL-mirrorable."""
-    sh = simhash(df, text_col, id_col)
+    by pigeonhole), verify hamming on candidates. Fully SQL-mirrorable.
+
+    The signature table is persisted: it feeds BOTH sides of the chunk
+    self-join, and recomputing the 60-aggregate bit-vote plan twice doubles
+    the dominant cost. Caching contract as in :func:`minhash_lsh_pairs` —
+    consumers call :func:`release_caches` after materializing."""
+    sh = simhash(df, text_col, id_col).persist()
     chunks = sh.select(
         id_col,
         "simhash",
@@ -350,12 +368,17 @@ def simhash_near_dups(
             F.col("l.simhash").alias("sh_a"),
             F.col("r.simhash").alias("sh_b"),
         )
+    )
+    # verify hamming BEFORE deduplicating: the filter is a per-row codegen
+    # expression, so the dedup shuffle carries only surviving pairs
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    out = (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return _attach_caches(out, (sh,))
 
 
 # ------------------------------------------------- embedding cosine near-dup

@@ -27,6 +27,86 @@ from pyspark.sql import functions as F
 from preprocessor_spark.operators.normalizer import numeric_columns
 
 
+DEFAULT_VALIDATION_RULES = {
+    # reference default rule set, app/core/data_handler.py:83-92
+    "min_rows": 10,
+    "min_columns": 1,
+    "max_missing_percentage": 50.0,
+    "required_numeric_features": 0,
+    # Spark typeName whitelist; None = any type allowed (the reference's
+    # pandas default effectively allows everything via 'object')
+    "allowed_data_types": None,
+    "check_duplicates": True,
+    # reference hardcodes 25% (data_handler.py:526-529); here it's a rule
+    "max_duplicate_percentage": 25.0,
+}
+
+
+def validate_dataset(
+    df: DataFrame, rules: dict | None = None
+) -> list[str]:
+    """Apply the reference's load-time validation-rule set
+    (app/core/data_handler.py:492-539) and return the list of violations
+    (empty = valid).
+
+    Cost: schema checks are free; the data checks are ONE aggregate pass
+    (count + per-column null counts + distinct row-hash count), partial+
+    final — no payload shuffle (duplicates are counted on xxhash64 of the
+    row, 8 bytes each through the count-distinct)."""
+    merged = dict(DEFAULT_VALIDATION_RULES)
+    merged.update(rules or {})
+    errors: list[str] = []
+
+    if len(df.columns) < merged["min_columns"]:
+        errors.append(
+            f"Insufficient columns: {len(df.columns)} < {merged['min_columns']}"
+        )
+    allowed = merged["allowed_data_types"]
+    if allowed is not None:
+        for f_ in df.schema.fields:
+            if f_.dataType.typeName() not in allowed:
+                errors.append(
+                    f"Invalid data type for column {f_.name}: "
+                    f"{f_.dataType.typeName()}"
+                )
+    n_numeric = len(numeric_columns(df))
+    if n_numeric < merged["required_numeric_features"]:
+        errors.append(
+            f"Insufficient numeric features: {n_numeric} < "
+            f"{merged['required_numeric_features']}"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.isnull(c).cast("bigint")).alias(f"__nulls_{i}")
+        for i, c in enumerate(df.columns)
+    ]
+    if merged["check_duplicates"]:
+        aggs.append(
+            F.count_distinct(F.xxhash64(*df.columns)).alias("__distinct")
+        )
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n < merged["min_rows"]:
+        errors.append(f"Insufficient rows: {n} < {merged['min_rows']}")
+    total_nulls = sum(row[f"__nulls_{i}"] for i in range(len(df.columns)))
+    missing_pct = (
+        100.0 * total_nulls / (n * len(df.columns)) if n else 0.0
+    )
+    if missing_pct > merged["max_missing_percentage"]:
+        errors.append(
+            f"Too much missing data: {missing_pct:.2f}% > "
+            f"{merged['max_missing_percentage']}%"
+        )
+    if merged["check_duplicates"] and n:
+        dup_pct = 100.0 * (n - row["__distinct"]) / n
+        if dup_pct > merged["max_duplicate_percentage"]:
+            errors.append(
+                f"Excessive duplicate rows: {dup_pct:.2f}% > "
+                f"{merged['max_duplicate_percentage']}%"
+            )
+    return errors
+
+
 def null_report(df: DataFrame) -> DataFrame:
     """Per-column null counts + overall completeness (A5)."""
     n = F.count(F.lit(1))

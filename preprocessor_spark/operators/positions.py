@@ -93,8 +93,14 @@ def grouped_positions_and_totals(
     )
     offsets_df = spark.createDataFrame(rows, off_schema)
     w = Window.partitionBy(*group_cols, "__bkt").orderBy(*order_cols)
+    # null-safe equality on the group columns: a null group is a legitimate
+    # stratum — a name-based equi-join would silently drop its rows
+    cond = [with_b["__bkt"] == offsets_df["__bkt"]] + [
+        with_b[c].eqNullSafe(offsets_df[c]) for c in group_cols
+    ]
     positioned = (
-        with_b.join(F.broadcast(offsets_df), [*group_cols, "__bkt"])
+        with_b.join(F.broadcast(offsets_df), cond)
+        .drop(offsets_df["__bkt"], *[offsets_df[c] for c in group_cols])
         .withColumn(
             pos_col, (F.row_number().over(w) - 1 + F.col("__off")).cast("long")
         )

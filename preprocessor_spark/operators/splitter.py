@@ -211,10 +211,53 @@ class TemporalSplitter:
                 "end_time": str(ts_at[e - 1]),
                 "sample_count": e - s,
             }
+        # Tie detection: when the timestamp AT a split edge continues across
+        # the boundary (tie-heavy time columns — e.g. many rows per minute),
+        # the inclusive [start, end] predicates of split_by_time_boundaries
+        # give every tied row to the EARLIER split, so positional counts
+        # above would diverge from what the labels produce. Detect it from
+        # the edge timestamps already in hand (zero extra work) and, when
+        # present, record the ACTUAL predicate-derived counts and bounds
+        # (one extra aggregate over the time column only) so the persisted
+        # params always agree with the labels they will generate.
+        order = [k for k in SPLIT_KEYS if k in rows]
+        tied = any(
+            rows[a]["end_time"] == rows[b]["start_time"]
+            for a, b in zip(order, order[1:])
+        )
+        if tied:
+            labeled = TemporalSplitter.split_by_time_boundaries(
+                df.select(self.time_col), self.time_col, rows
+            )
+            actual = {
+                r["split_id"]: r
+                for r in labeled.groupBy("split_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(self.time_col).alias("t0"),
+                    F.max(self.time_col).alias("t1"),
+                )
+                .collect()
+            }
+            for k in list(rows):
+                a = actual.get(k)
+                if a is None:  # fully absorbed by a tie run — drop the split
+                    del rows[k]
+                    continue
+                rows[k] = {
+                    "split_id": k,
+                    "start_time": str(a["t0"]),
+                    "end_time": str(a["t1"]),
+                    "sample_count": a["n"],
+                }
         return StageParams(
             stage=self.name,
             method="temporal",
-            params={"ratios": self.ratios, "boundaries": rows},
+            params={
+                "ratios": self.ratios,
+                "boundaries": rows,
+                "boundary_ties": tied,
+            },
         )
 
     def stratified(self, df: DataFrame, strat_col: str) -> DataFrame:
@@ -271,7 +314,9 @@ class TemporalSplitter:
         joined = positioned.join(
             F.broadcast(bdf),
             on=[
-                positioned[strat_col] == bdf[strat_col],
+                # null-safe: a null stratum is a legitimate group — plain
+                # equality would silently drop those rows from the output
+                positioned[strat_col].eqNullSafe(bdf[strat_col]),
                 positioned["__pos"] >= bdf["__s"],
                 positioned["__pos"] < bdf["__e"],
             ],

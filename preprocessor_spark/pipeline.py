@@ -57,10 +57,19 @@ class Pipeline:
     ``isolate_failures`` mirrors the reference's continue-on-error pipeline
     contract (app/core/feature_engineering_plugin_base.py:345-356): a failing
     stage is skipped (its input passes through) and recorded in metrics.
+
+    ``enforce_contracts`` mirrors the reference's FE-plugin output contract
+    (_validate_output, feature_engineering_plugin_base.py:227-266): every
+    stage must preserve the row count and emit a column SUPERSET of its
+    input. The column check is schema-only (free); the row check counts the
+    stage output (eager — use in tests/validation runs, not in the fused
+    production DAG). A violating stage is treated exactly like a failing
+    one: raised, or skipped-and-recorded under ``isolate_failures``.
     """
 
     stages: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
     isolate_failures: bool = False
+    enforce_contracts: bool = False
     metrics: list[StageMetric] = field(default_factory=list)
 
     def add(self, stage) -> "Pipeline":
@@ -74,11 +83,29 @@ class Pipeline:
             t0 = time.perf_counter()
             try:
                 nxt = st.transform(out) if hasattr(st, "transform") else st(out)
+                if self.enforce_contracts:
+                    if not isinstance(nxt, DataFrame):
+                        raise TypeError(
+                            f"stage {name} returned {type(nxt).__name__}, "
+                            "not a DataFrame"
+                        )
+                    dropped = set(out.columns) - set(nxt.columns)
+                    if dropped:
+                        raise ValueError(
+                            f"stage {name} violated the column-superset "
+                            f"contract: dropped {sorted(dropped)}"
+                        )
                 m = StageMetric(stage=name, plan_seconds=time.perf_counter() - t0)
-                if eager:
+                if eager or self.enforce_contracts:
                     t1 = time.perf_counter()
+                    n_in = out.count() if self.enforce_contracts else None
                     m.rows = nxt.count()
                     m.exec_seconds = time.perf_counter() - t1
+                    if self.enforce_contracts and m.rows != n_in:
+                        raise ValueError(
+                            f"stage {name} violated the row-preservation "
+                            f"contract: {n_in} rows in, {m.rows} out"
+                        )
                 out = nxt
             except Exception as e:  # noqa: BLE001
                 if not self.isolate_failures:

@@ -256,7 +256,8 @@ def main(argv: list[str] | None = None) -> dict:
             else:
                 cur = tree.base_aggregate(prepared, tier)
             spine = spine_from_bounds(
-                spark, bounds_rows, ["source"], step, num_partitions=spine_parts
+                spark, bounds_rows, ["source"], step,
+                num_partitions=spine_parts, series_schema=prepared,
             )
             filled = spine.join(
                 cur, on=["source", "bucket_start"], how="left"

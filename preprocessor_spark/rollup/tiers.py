@@ -195,6 +195,7 @@ def spine_from_bounds(
     time_col: str = "bucket_start",
     max_chunk: int = 8192,
     num_partitions: int | None = None,
+    series_schema: DataFrame | None = None,
 ) -> DataFrame:
     """Dense bucket spine built from per-series [t0, t1] epoch bounds that
     were collected ONCE (e.g. from the finest-tier aggregate) — no extra
@@ -207,9 +208,26 @@ def spine_from_bounds(
     row — the scale path for 10^12-sequence spans.
 
     ``bounds_rows``: rows/tuples of (*series values, t0_epoch_s, t1_epoch_s).
+
+    ``series_schema``: a DataFrame carrying the series columns (e.g. the
+    tier itself) — their exact types are copied into the spine so the
+    gap-fill join keys match for non-string series columns; without it the
+    series columns default to string.
     """
+    from pyspark.sql import types as T
+
     step = int(period_seconds)
-    schema = ", ".join(f"{c} string" for c in series_cols) + ", __t0s long, __t1s long"
+    if series_schema is not None:
+        fields = [series_schema.schema[c] for c in series_cols]
+    else:
+        fields = [T.StructField(c, T.StringType()) for c in series_cols]
+    schema = T.StructType(
+        [
+            *fields,
+            T.StructField("__t0s", T.LongType()),
+            T.StructField("__t1s", T.LongType()),
+        ]
+    )
     sdf = spark.createDataFrame([tuple(r) for r in bounds_rows], schema)
     t0k = (F.col("__t0s") - F.col("__t0s") % step).alias("__t0k")
     t1k = (F.col("__t1s") - F.col("__t1s") % step).alias("__t1k")

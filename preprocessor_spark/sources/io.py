@@ -37,8 +37,45 @@ EXTENSION_FORMATS = {
 _SEP_CANDIDATES = [",", ";", "\t", "|"]
 
 
-def detect_format(path: str) -> str:
+def sniff_format_by_content(path: str, spark: SparkSession | None = None) -> str | None:
+    """Content-based format detection (reference
+    app/core/data_handler.py:212-244): examine the first lines — JSON if
+    the file opens with ``{``/``[``, CSV if a separator appears; plus a
+    parquet magic-bytes check the reference's text-only sniffer can't do.
+    Local files are read driver-side (a few bytes); anything else falls
+    back to a limited ``spark.read.text`` scan of one partition head."""
+    lines: list[str] = []
+    if os.path.isfile(path):
+        with open(path, "rb") as fb:
+            if fb.read(4) == b"PAR1":
+                return "parquet"
+        with open(path, errors="ignore") as f:
+            lines = [f.readline().strip() for _ in range(5)]
+    elif spark is not None:
+        try:
+            lines = [
+                (r[0] or "").strip()
+                for r in spark.read.text(path).limit(5).collect()
+            ]
+        except Exception:  # noqa: BLE001 — unreadable as text ⇒ undetectable
+            return None
+    first = lines[0] if lines else ""
+    if first.startswith("{") or first.startswith("["):
+        return "json"
+    if any(s in first for s in _SEP_CANDIDATES):
+        return "csv"
+    return None
+
+
+def detect_format(path: str, spark: SparkSession | None = None) -> str:
+    """Extension mapping first (S2), content sniffing for ambiguous or
+    unknown extensions (reference data_handler.py:200-210: .txt/.dat and
+    unmapped suffixes fall through to content detection)."""
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".txt", ".dat") or ext not in EXTENSION_FORMATS:
+        sniffed = sniff_format_by_content(path, spark)
+        if sniffed is not None:
+            return sniffed
     if ext not in EXTENSION_FORMATS:
         raise ValueError(f"unsupported extension: {ext} ({path})")
     return EXTENSION_FORMATS[ext]
@@ -62,7 +99,7 @@ def load_data(
     sep: str | None = None,
     **options,
 ) -> DataFrame:
-    fmt = fmt or detect_format(path)
+    fmt = fmt or detect_format(path, spark)
     reader = spark.read.options(**options)
     if fmt == "csv":
         if sep is None:

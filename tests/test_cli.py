@@ -116,3 +116,50 @@ def test_save_config_writes_merged(tmp_path, csv_input):
     )
     saved = json.load(open(cfg_path))
     assert saved["normalization_method"] == "minmax"
+
+
+def test_config_file_split_method_not_clobbered(tmp_path, csv_input):
+    """Config-file values survive when the flag is not explicitly given
+    (reference precedence: defaults < file < explicit CLI flags)."""
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(json.dumps({"split_method": "shuffle", "seed": 7}))
+    args = cli.build_parser().parse_args([csv_input, "--config", str(cfgf)])
+    cfg = cli.merge_config(args)
+    assert cfg["split_method"] == "shuffle"
+    assert cfg["seed"] == 7
+    # explicit flag still wins over the file
+    args2 = cli.build_parser().parse_args(
+        [csv_input, "--config", str(cfgf), "--split-method", "temporal", "--seed", "9"]
+    )
+    cfg2 = cli.merge_config(args2)
+    assert cfg2["split_method"] == "temporal" and cfg2["seed"] == 9
+
+
+def test_split_method_shuffle_reaches_splitter(spark):
+    """--split-method shuffle must actually produce a shuffled (non-temporal)
+    split in the pipeline core, with exact counts preserved."""
+    from preprocessor_spark.core import PreprocessorCore
+    from preprocessor_spark.operators.splitter import split_counts
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=500, freq="min"),
+            "v": [float(i) for i in range(500)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    core = PreprocessorCore(
+        spark,
+        config={"split_method": "shuffle", "seed": 3, "time_col": "ts"},
+    )
+    core.load(df)
+    labeled = core.process()
+    got = {
+        r["split_id"]: r["count"]
+        for r in labeled.groupBy("split_id").count().collect()
+    }
+    assert got == split_counts(500, core.config["split_ratios"])
+    # shuffled: d1 is NOT the temporally-first contiguous half
+    d1_max = labeled.filter("split_id = 'd1'").agg({"ts": "max"}).collect()[0][0]
+    not_d1_min = labeled.filter("split_id != 'd1'").agg({"ts": "min"}).collect()[0][0]
+    assert d1_max > not_d1_min, "shuffle flag silently produced a temporal split"

@@ -196,3 +196,105 @@ def test_stateful_streaming_ema_matches_batch(spark, tmp_path):
     np.testing.assert_allclose(
         got["residual"].values, batch["residual"].values, rtol=1e-9, atol=1e-12
     )
+
+
+def test_validation_rules_gate_load(spark):
+    """Reference rule set (data_handler.py:492-539): missing-%, duplicate-%,
+    dtype whitelist and min_rows enforced at load, all violations listed."""
+    from preprocessor_spark.operators.metadata import validate_dataset
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=20, freq="min"),
+            "v": [None] * 15 + [1.0] * 5,  # 37.5% of all cells missing > 30%
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    errs = validate_dataset(df, {"max_missing_percentage": 30.0, "min_rows": 10})
+    assert any("missing" in e.lower() for e in errs)
+    # duplicate gate
+    dup = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 9 + [2.0]}))
+    errs = validate_dataset(dup, {"min_rows": 1, "max_duplicate_percentage": 25.0})
+    assert any("duplicate" in e.lower() for e in errs)
+    # dtype whitelist
+    errs = validate_dataset(
+        df, {"min_rows": 1, "allowed_data_types": ["double"]}
+    )
+    assert any("ts" in e for e in errs)
+    # clean data passes defaults
+    clean = spark.createDataFrame(
+        pd.DataFrame({"v": [float(i) for i in range(30)]})
+    )
+    assert validate_dataset(clean) == []
+
+
+def test_core_load_raises_on_validation_failure(spark):
+    dup = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 19 + [2.0]}))
+    core = PreprocessorCore(spark, config={"min_rows": 5})
+    with pytest.raises(ValueError, match="duplicate"):
+        core.load(dup)
+    assert core.validation_errors
+    # explicit None disables the data-pass gates
+    core2 = PreprocessorCore(
+        spark, config={"min_rows": 5, "validation_rules": None}
+    )
+    core2.load(dup)
+    assert core2.validation_errors == []
+
+
+def test_pipeline_output_contracts(spark, raw_pdf):
+    """FE contract (feature_engineering_plugin_base.py:227-266): stages must
+    preserve rows and keep a column superset; violations isolate like
+    failures."""
+    from preprocessor_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(raw_pdf)
+    ok = lambda d: d.withColumn("extra", F.col("open") * 2)  # noqa: E731
+    drops_col = lambda d: d.drop("close")  # noqa: E731
+    drops_rows = lambda d: d.filter(F.col("open") > 100)  # noqa: E731
+
+    strict = Pipeline(enforce_contracts=True)
+    strict.stages = [ok]
+    out = strict.run(df)
+    assert out.count() == len(raw_pdf) and "extra" in out.columns
+
+    for bad, msg in ((drops_col, "column-superset"), (drops_rows, "row-preservation")):
+        p = Pipeline(enforce_contracts=True)
+        p.stages = [bad]
+        with pytest.raises((ValueError, TypeError), match=msg):
+            p.run(df)
+
+    # isolate_failures: violating stage is skipped, input passes through
+    iso = Pipeline(enforce_contracts=True, isolate_failures=True)
+    iso.stages = [drops_col, ok]
+    out = iso.run(df)
+    assert "close" in out.columns and "extra" in out.columns
+    assert iso.metrics[0].error and "column-superset" in iso.metrics[0].error
+
+
+def test_content_format_sniffing(spark, tmp_path):
+    """S2 content sniffing (data_handler.py:212-244): unknown/ambiguous
+    extensions resolve by examining the first lines."""
+    from preprocessor_spark.sources.io import detect_format, load_data
+
+    j = tmp_path / "data.dat"
+    j.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    assert detect_format(str(j)) == "json"
+    assert load_data(spark, str(j)).count() == 2
+
+    c = tmp_path / "table.unknownext"
+    c.write_text("a,b\n1,x\n2,y\n")
+    assert detect_format(str(c)) == "csv"
+    assert load_data(spark, str(c)).count() == 2
+
+    p = tmp_path / "weird.dat2"
+    spark.range(3).toPandas().to_parquet(tmp_path / "inner.parquet")
+    import shutil as _sh
+
+    _sh.copy(tmp_path / "inner.parquet", p)
+    assert detect_format(str(p)) == "parquet"
+
+    bad = tmp_path / "noise.xyz"
+    bad.write_text("no separators here\njust words\n")
+    with pytest.raises(ValueError, match="unsupported extension"):
+        detect_format(str(bad))

@@ -7,6 +7,7 @@ import json
 import os
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -139,3 +140,37 @@ def test_spine_from_bounds_equals_dense_spine(spark):
             spine.exceptAll(ref).count() == 0
             and ref.exceptAll(spine).count() == 0
         ), f"spine mismatch at {tier.name}"
+
+
+def test_spine_from_bounds_non_string_series(spark):
+    """Series columns keep their real types when a schema source is given —
+    an integer series key must join (not silently mismatch) against the
+    tier's own rows."""
+    tier = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sensor": [1, 1, 2],
+                "bucket_start": pd.to_datetime(
+                    ["2020-01-01 00:00", "2020-01-01 00:10", "2020-01-01 00:00"]
+                ),
+                "n_points": [3, 4, 5],
+            }
+        )
+    )
+    bounds = [
+        tuple(r)
+        for r in tier.groupBy("sensor")
+        .agg(
+            F.min(F.unix_timestamp("bucket_start")).alias("t0"),
+            F.max(F.unix_timestamp("bucket_start")).alias("t1"),
+        )
+        .collect()
+    ]
+    spine = spine_from_bounds(
+        spark, bounds, ["sensor"], 300, series_schema=tier
+    )
+    assert dict(spine.dtypes)["sensor"] == dict(tier.dtypes)["sensor"]
+    joined = spine.join(tier, ["sensor", "bucket_start"], "left")
+    # sensor 1 spans 3 buckets (2 present, 1 gap), sensor 2 spans 1
+    assert joined.count() == 4
+    assert joined.filter("n_points is not null").count() == 3

@@ -182,3 +182,72 @@ def test_stratified_split_rejects_high_cardinality(spark):
     )
     with pytest.raises(ValueError, match="unique values"):
         TemporalSplitter().stratified(spark.createDataFrame(pdf), "grp")
+
+
+def test_fit_time_boundaries_tie_heavy_records_actual_counts(spark):
+    """Tie-heavy time columns (many rows per timestamp): a split edge can
+    land inside a tie run, where inclusive time predicates give every tied
+    row to the earlier split. The fit must detect this and persist counts
+    that MATCH the labels the boundaries will actually produce."""
+    n_ts, per_ts = 97, 10
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=n_ts, freq="min").repeat(
+                per_ts
+            ),
+            "v": range(n_ts * per_ts),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    sp = TemporalSplitter()
+    p = sp.fit_time_boundaries(df, n_buckets=16)
+    assert p.params["boundary_ties"] is True
+    boundaries = p.params["boundaries"]
+    labeled = TemporalSplitter.split_by_time_boundaries(df, "ts", boundaries)
+    got = {
+        r["split_id"]: r["count"]
+        for r in labeled.groupBy("split_id").count().collect()
+    }
+    assert got == {
+        k: b["sample_count"] for k, b in boundaries.items()
+    }
+    # every row is labeled and total mass is preserved
+    assert sum(got.values()) == n_ts * per_ts
+    # splits never overlap in time after the actual-bounds rewrite
+    order = [k for k in SPLIT_KEYS if k in boundaries]
+    for a, b in zip(order, order[1:]):
+        assert boundaries[a]["end_time"] < boundaries[b]["start_time"]
+
+
+def test_fit_time_boundaries_unique_ts_has_no_ties(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=300, freq="h"), "v": range(300)}
+    )
+    p = TemporalSplitter().fit_time_boundaries(spark.createDataFrame(pdf))
+    assert p.params["boundary_ties"] is False
+
+
+def test_stratified_split_keeps_null_strata(spark):
+    """Rows with a NULL stratum are a legitimate group: they must be split
+    with the same remainder rule, not silently dropped."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=300, freq="min"),
+            "grp": ["a"] * 200 + [None] * 100,
+            "v": range(300),
+        }
+    )
+    sp = TemporalSplitter(seed=1)
+    out = sp.stratified(spark.createDataFrame(pdf), "grp")
+    assert out.count() == 300
+    null_counts = {
+        r["split_id"]: r["count"]
+        for r in out.filter(out["grp"].isNull())
+        .groupBy("split_id")
+        .count()
+        .collect()
+    }
+    want = split_counts(100, sp.ratios)
+    for k, c in want.items():
+        if c:
+            assert null_counts.get(k, 0) == c, k
