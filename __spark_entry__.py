@@ -514,6 +514,15 @@ def q_text_colstats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 text-column stats in long format including the DETERMINISTIC mode
+    (smallest value on frequency ties — engine-stable, so DuckDB mirrors it
+    with ORDER BY count DESC, value ASC LIMIT 1)."""
+    from preprocessor_spark.operators.metadata import text_column_stats
+
+    return text_column_stats(_t(spark, sf, "documents"), ["source", "lang"])
+
+
 def q_snr(spark: SparkSession, sf: str) -> DataFrame:
     """M8 SNR + Shannon-Hartley capacity per event_type."""
     from preprocessor_spark.functions.analysis import snr_stats
@@ -724,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_stats": q_describe_stats,
         "iqr_outliers": q_iqr_outliers,
         "text_colstats": q_text_colstats,
+        "mode_stats": q_mode_stats,
         "snr": q_snr,
         "pipeline_zscore_by_split": q_pipeline_zscore_by_split,
         # relational breadth
@@ -1312,6 +1322,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT source) AS n_unique_source,
                    round(avg(length(text)), 6) AS avg_text_length,
                    count(DISTINCT lang) AS n_unique_lang
+            FROM documents
+        """,
+        "mode_stats": """
+            SELECT 'source' AS column,
+                   count(DISTINCT source) AS n_unique,
+                   (SELECT source FROM documents GROUP BY source
+                    ORDER BY count(*) DESC, source ASC LIMIT 1) AS mode_value,
+                   round(avg(length(source)), 6) AS avg_length
+            FROM documents
+            UNION ALL
+            SELECT 'lang',
+                   count(DISTINCT lang),
+                   (SELECT lang FROM documents GROUP BY lang
+                    ORDER BY count(*) DESC, lang ASC LIMIT 1),
+                   round(avg(length(lang)), 6)
             FROM documents
         """,
         "snr": """

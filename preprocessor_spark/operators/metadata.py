@@ -186,7 +186,9 @@ def iqr_outlier_counts(df: DataFrame, columns: list[str] | None = None) -> DataF
 
 
 def text_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """A9: per text column — distinct count, mode, avg length (long format)."""
+    """A9: per text column — distinct count, mode, avg length (long format).
+    ``mode`` is the DETERMINISTIC variant (smallest value on frequency
+    ties) so results are engine- and parallelism-stable."""
     cols = columns or [c for c, t in df.dtypes if t == "string"]
     rows = []
     for c in cols:
@@ -194,7 +196,7 @@ def text_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFr
             df.agg(
                 F.lit(c).alias("column"),
                 F.countDistinct(c).alias("n_unique"),
-                F.mode(c).alias("mode_value"),
+                F.mode(c, True).alias("mode_value"),
                 F.round(F.avg(F.length(c)), 6).alias("avg_length"),
             )
         )

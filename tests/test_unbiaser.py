@@ -152,3 +152,55 @@ def test_ema_chunked_matches_pandas(spark):
     np.testing.assert_allclose(
         chunked["v"].values, exact["v"].values, rtol=1e-10, atol=1e-12
     )
+
+
+def test_ma_chunked_plan_has_single_exchange(spark):
+    """The chunked MA scale path must cost exactly ONE full-width shuffle:
+    chunk ids come from driver-side bucket packing + a broadcast join, not
+    from a positions window (which added a second Exchange)."""
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 5000).withColumn(
+        "v", F.col("n_tok").cast("double")
+    )
+    out = Unbiaser(
+        method="ma",
+        window_size=5,
+        series_cols=["source"],
+        value_cols=["v"],
+        tiebreak_cols=["doc_id"],
+        chunk_rows=300,
+    ).transform(corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+    assert "BroadcastExchange" in plan  # the chunk-assignment join
+
+
+def test_ma_chunked_tail_spans_buckets(spark):
+    """Window larger than single-bucket counts: the tail suffix must span
+    multiple buckets and stay exact."""
+    import numpy as np
+    import pandas as pd
+
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=n, freq="s"),
+            "doc_id": [f"d{i:05d}" for i in range(n)],
+            "v": np.random.default_rng(5).normal(size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kw = dict(method="ma", window_size=60, value_cols=["v"], tiebreak_cols=["doc_id"])
+    plain = (
+        Unbiaser(**kw).transform(df).select("doc_id", "v").toPandas().sort_values("doc_id")
+    )
+    chunked = (
+        Unbiaser(**kw, chunk_rows=50)
+        .transform(df)
+        .select("doc_id", "v")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert np.array_equal(plain["v"].values, chunked["v"].values)
