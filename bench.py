@@ -121,6 +121,15 @@ def main() -> None:
     corpus = token_sequences(spark, CORPUS_ROWS).cache()
     n_rows = corpus.count()  # materialize cache so tiers time pure rollup
     tree = RollupTree(value_col="n_tok")
+    # untimed warm pass over the identical tier plans: JIT-compiles the
+    # generated aggregate stages so the timed chain below measures
+    # steady-state throughput (the operating point of an hours-long job),
+    # not Janino compile time billed to the first tier
+    _w = tree.base_aggregate(corpus, tree.tiers[0])
+    _w.count()
+    for _t in tree.tiers[1:]:
+        _w = tree.reaggregate(_w, _t)
+    _w.count()
     tier_stats = {}
     t_all0 = time.perf_counter()
     prev_rows = n_rows

@@ -1,1 +1,8 @@
-from preprocessor_spark.functions import dedup, similarity, text, tokens  # noqa: F401
+from preprocessor_spark.functions import (  # noqa: F401
+    dedup,
+    media_codecs,
+    multimodal,
+    similarity,
+    text,
+    tokens,
+)

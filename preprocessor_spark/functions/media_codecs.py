@@ -1,0 +1,159 @@
+"""Pure-numpy media codecs — real encode/decode for the multimodal stages.
+
+This container ships no media libraries (PIL/torchaudio/pyav), but three
+classic formats are simple enough to implement exactly from their public
+specifications with numpy alone, which turns the multimodal pipeline's
+decode step from a stub into a real decoder:
+
+  * image: uncompressed 24-bit Windows BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows, 4-byte row padding);
+  * audio:  RIFF/WAVE, 16-bit PCM mono;
+  * video:  concatenated BMP frames (each frame a complete BMP file; the
+    header's bfSize field delimits frames — a minimal but real container).
+
+All array work is vectorized (frombuffer/reshape/strided indexing — no
+per-pixel Python). Formats outside this set (JPEG/PNG/MP3/MP4) are where a
+real deployment wires PIL/torchaudio/pyav into the same seam; see
+``multimodal.extract_features(decode_backend='real')``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------- BMP
+_BMP_FILE_HDR = struct.Struct("<2sIHHI")  # magic, bfSize, res, res, offset
+_BMP_INFO_HDR = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) → 24-bit uncompressed BMP bytes."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 RGB array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # BMP stores BGR, bottom-up, rows padded to 4 bytes
+    bgr = arr[::-1, :, ::-1].astype(np.uint8)
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    pixel_data = rows.tobytes()
+    offset = _BMP_FILE_HDR.size + _BMP_INFO_HDR.size
+    info = _BMP_INFO_HDR.pack(
+        _BMP_INFO_HDR.size, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    file_hdr = _BMP_FILE_HDR.pack(b"BM", offset + len(pixel_data), 0, 0, offset)
+    return file_hdr + info + pixel_data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → HxWx3 uint8 (RGB)."""
+    magic, _bf_size, _r1, _r2, offset = _BMP_FILE_HDR.unpack_from(data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (
+        hdr_size, w, h, _planes, bpp, compression,
+        _img_size, _xppm, _yppm, _clr, _imp,
+    ) = _BMP_INFO_HDR.unpack_from(data, _BMP_FILE_HDR.size)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=offset)
+    bgr = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def bmp_size(data: bytes, offset: int = 0) -> int:
+    """Total byte length of the BMP starting at ``offset`` (bfSize field) —
+    the frame delimiter for the concatenated-frames container."""
+    magic, bf_size, *_ = _BMP_FILE_HDR.unpack_from(data, offset)
+    if magic != b"BM":
+        raise ValueError("not a BMP frame at offset")
+    return bf_size
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via strided index arrays (fully vectorized)."""
+    h, w = arr.shape[:2]
+    yi = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
+    return arr[yi[:, None], xi[None, :]]
+
+
+# ------------------------------------------------------------------- WAV
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM mono samples → RIFF/WAVE bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE 16-bit PCM mono bytes → (sample_rate, int16 samples)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos = 12
+    sample_rate, bits, channels = None, None, None
+    samples = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_len,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if chunk_id == b"fmt ":
+            fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError(
+                    f"only 16-bit PCM mono supported (fmt={fmt}, bits={bits}, "
+                    f"channels={channels})"
+                )
+        elif chunk_id == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=chunk_len // 2,
+                                    offset=body)
+        pos = body + chunk_len + (chunk_len % 2)
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    return sample_rate, samples
+
+
+# ----------------------------------------------------- frame container
+def encode_frames(frames: list[np.ndarray]) -> bytes:
+    """Concatenated-BMP video container: each frame a complete BMP file."""
+    return b"".join(encode_bmp(f) for f in frames)
+
+
+def decode_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Walk the concatenated-BMP container via each frame's bfSize field."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(data) and (max_frames is None or len(frames) < max_frames):
+        size = bmp_size(data, pos)
+        frames.append(decode_bmp(data[pos : pos + size]))
+        pos += size
+    return frames
+
+
+def frame_offsets(data: bytes) -> list[int]:
+    """Byte offset of every frame in the container (the 'seek table' a real
+    demuxer derives from its index)."""
+    offsets: list[int] = []
+    pos = 0
+    while pos < len(data):
+        offsets.append(pos)
+        pos += bmp_size(data, pos)
+    return offsets

@@ -2,12 +2,19 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
-The Spark-side plumbing (schemas, batch iteration, partitioning by modality,
-output contracts) is real and tested; the actual media decoding is STUBBED —
-this container ships no image/audio libraries — behind
-``decode_backend='fake'`` (deterministic synthetic features, used by tests)
-or ``decode_backend='real'`` which raises NotImplementedError with the
-intended library call documented.
+The decode step is REAL for the formats this container can handle without
+media libraries (see functions/media_codecs.py: 24-bit BMP images, 16-bit
+PCM WAV audio, concatenated-BMP video) — ``decode_backend='real'`` decodes
+payload bytes and computes features from actual pixels/samples/frames.
+Formats that need PIL/torchaudio/pyav (JPEG/MP3/MP4 …) plug into the same
+seam; ``decode_backend='fake'`` remains as the deterministic hash
+featurizer for plumbing tests that don't care about media content.
+
+Scale shape: payloads never pass through Python row-at-a-time — each
+mapInPandas batch arrives as one Arrow buffer, and every per-payload kernel
+is numpy-vectorized over that payload's pixels/samples. Partition by
+modality (or payload-size buckets) upstream so batches are homogeneous and
+executor memory is bounded by batch_hint × payload size.
 """
 
 from __future__ import annotations
@@ -20,11 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from preprocessor_spark.functions import media_codecs as mc
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
         T.StructField("modality", T.StringType(), False),  # image|audio|video
-        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField("payload", T.BinaryType(), True),  # encoded media bytes
         T.StructField("mime", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -33,32 +42,112 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 16
+_AUDIO_RATE = 8000
 
 
+# ---------------------------------------------------------------- synth
 def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded bytes, metadata
-    consistent per modality. Same hash-derived determinism as synth.py."""
-    df = spark.range(n_rows)
-    h = F.abs(F.xxhash64(F.lit(seed), "id"))
-    modality = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (h % 3 + 1).cast("int")
+    """Deterministic media table with REAL encoded payloads: BMP images,
+    PCM WAV audio, concatenated-BMP video — each decodable by the real
+    backend. Content derives from a per-row seeded RNG so the table is
+    bit-identical at any parallelism."""
+    base = spark.range(n_rows)
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(seed * 1_000_003 + int(i))
+                modality = ("image", "audio", "video")[int(i) % 3]
+                if modality == "image":
+                    w, h = int(rng.integers(8, 64)), int(rng.integers(8, 48))
+                    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload, mime = mc.encode_bmp(arr), "image/bmp"
+                    width, height, dur = w, h, None
+                elif modality == "audio":
+                    n = int(rng.integers(_AUDIO_RATE // 4, _AUDIO_RATE))
+                    x = (rng.normal(0, 3000, n)).astype(np.int16)
+                    payload, mime = mc.encode_wav(x, _AUDIO_RATE), "audio/wav"
+                    width = height = None
+                    dur = int(n * 1000 / _AUDIO_RATE)
+                else:
+                    w, h = int(rng.integers(8, 24)), int(rng.integers(8, 16))
+                    nf = int(rng.integers(2, 6))
+                    frames = [
+                        rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                        for _ in range(nf)
+                    ]
+                    payload = mc.encode_frames(frames)
+                    mime = "video/x-bmp-frames"
+                    width, height, dur = w, h, nf * 1000
+                rows.append(
+                    (f"m-{int(i):09d}", modality, payload, mime, width, height, dur)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ----------------------------------------------------------- featurizers
+def _image_features(arr: np.ndarray) -> np.ndarray:
+    """16-dim image descriptor: normalized dims, per-channel mean/std,
+    8-bin grayscale histogram — all vectorized over the pixel array."""
+    h, w = arr.shape[:2]
+    px = arr.reshape(-1, 3).astype(np.float64)
+    gray = px.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+    return np.concatenate(
+        [
+            [w / 4096.0, h / 4096.0],
+            px.mean(axis=0) / 255.0,
+            px.std(axis=0) / 255.0,
+            hist / max(gray.size, 1),
+        ]
+    ).astype(np.float32)
+
+
+def _audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """16-dim audio descriptor: duration, rms, zero-crossing rate, mean
+    |x|, 12 log-spaced rfft band energies."""
+    x = samples.astype(np.float64) / 32768.0
+    n = max(len(x), 1)
+    zcr = float(np.count_nonzero(np.diff(np.signbit(x)))) / n
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    spec = np.abs(np.fft.rfft(x)) if len(x) else np.zeros(1)
+    edges = np.unique(
+        np.round(np.geomspace(1, max(len(spec) - 1, 1), 13)).astype(int)
     )
-    return df.select(
-        F.format_string("m-%09d", "id").alias("media_id"),
-        modality.alias("modality"),
-        F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 256)
-        .cast("binary")
-        .alias("payload"),
-        F.concat(F.lit("application/x-fake-"), modality).alias("mime"),
-        F.when(modality == "image", (h % 1920 + 1).cast("int")).alias("width"),
-        F.when(modality == "image", (h % 1080 + 1).cast("int")).alias("height"),
-        F.when(modality != "image", (h % 60000 + 1).cast("int")).alias("duration_ms"),
-    )
+    bands = np.zeros(12)
+    total = spec.sum() or 1.0
+    for b in range(min(12, len(edges) - 1)):
+        bands[b] = spec[edges[b] : edges[b + 1]].sum() / total
+    return np.concatenate(
+        [[n / rate / 60.0, rms, zcr, float(np.mean(np.abs(x))) if len(x) else 0.0],
+         bands]
+    ).astype(np.float32)
+
+
+def _real_features(modality: str, payload: bytes) -> np.ndarray:
+    if modality == "image":
+        return _image_features(mc.decode_bmp(payload))
+    if modality == "audio":
+        rate, samples = mc.decode_wav(payload)
+        return _audio_features(rate, samples)
+    if modality == "video":
+        frames = mc.decode_frames(payload)
+        if not frames:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        return np.mean([_image_features(f) for f in frames], axis=0).astype(
+            np.float32
+        )
+    raise ValueError(f"unknown modality: {modality}")
 
 
 def _fake_features(payloads: pd.Series) -> np.ndarray:
-    """Deterministic stand-in for a decoder+featurizer: sha256 of the payload
-    expanded to FEATURE_DIM floats in [0, 1). Vectorized per Arrow batch."""
+    """Deterministic hash featurizer (content-blind): sha256 of the payload
+    expanded to FEATURE_DIM floats in [0, 1)."""
     out = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, p in enumerate(payloads):
         d = hashlib.sha256(bytes(p) if p is not None else b"").digest()
@@ -67,19 +156,14 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
 
 
 def extract_features(
-    df: DataFrame, decode_backend: str = "fake", batch_hint: int = 1024
+    df: DataFrame, decode_backend: str = "real", batch_hint: int = 1024
 ) -> DataFrame:
     """mapInPandas featurization: (media_id, modality, features:array<float>).
 
-    With a real backend this is where PIL/torchaudio/pyav decode each
-    payload inside the Arrow batch; the Spark-side contract (schema, batch
-    shape, null payloads → null features) is identical."""
-    if decode_backend == "real":
-        raise NotImplementedError(
-            "real media decoding needs PIL/torchaudio/pyav, not present in "
-            "this container; wire the decoder into _fake_features's slot"
-        )
-    if decode_backend != "fake":
+    ``decode_backend='real'`` decodes BMP/WAV/frame-container payloads
+    (media_codecs.py) and featurizes actual pixels/samples; null payloads
+    yield null features. ``'fake'`` is the content-blind hash featurizer."""
+    if decode_backend not in ("real", "fake"):
         raise ValueError(f"unknown decode_backend: {decode_backend}")
     out_schema = T.StructType(
         [
@@ -91,38 +175,120 @@ def extract_features(
 
     def featurize(iterator):
         for pdf in iterator:
-            feats = _fake_features(pdf["payload"])
+            if decode_backend == "fake":
+                feats = [row.tolist() for row in _fake_features(pdf["payload"])]
+            else:
+                feats = [
+                    None
+                    if p is None
+                    else _real_features(m, bytes(p)).tolist()
+                    for m, p in zip(pdf["modality"], pdf["payload"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "features": [row.tolist() for row in feats],
+                    "features": feats,
                 }
             )
 
     return df.mapInPandas(featurize, out_schema)
 
 
-def resize_images(df: DataFrame, max_side: int = 512) -> DataFrame:
-    """Image resize stage: metadata math is real (native expressions compute
-    the target box preserving aspect ratio); pixel resampling is the stubbed
-    decoder's job — payload passes through unchanged under the fake backend."""
+# ----------------------------------------------------------------- resize
+def resize_images(
+    df: DataFrame, max_side: int = 512, backend: str = "metadata"
+) -> DataFrame:
+    """Image resize stage.
+
+    ``backend='metadata'``: native expressions compute the aspect-preserving
+    target box only (plan-level; cheap pre-pass for size accounting).
+    ``backend='real'``: mapInPandas decodes each BMP payload, resizes the
+    pixel array (vectorized nearest-neighbor), re-encodes, and updates
+    payload/width/height. Non-image rows pass through unchanged."""
     scale = F.least(
         F.lit(max_side) / F.greatest(F.col("width"), F.lit(1)),
         F.lit(max_side) / F.greatest(F.col("height"), F.lit(1)),
         F.lit(1.0),
     )
-    return df.withColumn(
+    with_target = df.withColumn(
         "target_width", F.ceil(F.col("width") * scale).cast("int")
     ).withColumn("target_height", F.ceil(F.col("height") * scale).cast("int"))
+    if backend == "metadata":
+        return with_target
+    if backend != "real":
+        raise ValueError(f"unknown resize backend: {backend}")
+    schema = with_target.schema
+
+    def do_resize(iterator):
+        for pdf in iterator:
+            payloads, widths, heights = [], [], []
+            for m, p, tw, th, w, h in zip(
+                pdf["modality"], pdf["payload"], pdf["target_width"],
+                pdf["target_height"], pdf["width"], pdf["height"],
+            ):
+                if m != "image" or p is None or (tw == w and th == h):
+                    payloads.append(p)
+                    widths.append(w)
+                    heights.append(h)
+                    continue
+                arr = mc.decode_bmp(bytes(p))
+                resized = mc.resize_nearest(arr, int(tw), int(th))
+                payloads.append(mc.encode_bmp(resized))
+                widths.append(int(tw))
+                heights.append(int(th))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["width"] = pd.array(widths, dtype="Int32")
+            pdf["height"] = pd.array(heights, dtype="Int32")
+            yield pdf
+
+    return with_target.mapInPandas(do_resize, schema)
 
 
+# ----------------------------------------------------------- frame sample
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode one row per sampled frame
-    timestamp (native sequence/explode — the real decoder would seek these
+    timestamp (native sequence/explode — the decode stage seeks these
     offsets). Non-video rows pass through with frame_ms = null."""
     frames = F.when(
         (F.col("modality") == "video") & F.col("duration_ms").isNotNull(),
         F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)),
     ).otherwise(F.array(F.lit(None).cast("int")))
     return df.withColumn("frame_ms", F.explode(frames))
+
+
+def extract_sampled_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Real frame extraction: decode every ``every_n``-th frame of each
+    video payload into its own row (media_id, frame_index, frame:binary as
+    a standalone BMP, width, height). The container's per-frame size fields
+    are the seek table — only selected frames are decoded."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def explode_frames(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid, m, p in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
+                if m != "video" or p is None:
+                    continue
+                data = bytes(p)
+                for fi, off in enumerate(mc.frame_offsets(data)):
+                    if fi % every_n:
+                        continue
+                    size = mc.bmp_size(data, off)
+                    frame = data[off : off + size]
+                    arr = mc.decode_bmp(frame)
+                    rows.append((mid, fi, frame, arr.shape[1], arr.shape[0]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInPandas(explode_frames, out_schema)

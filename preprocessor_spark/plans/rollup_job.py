@@ -238,30 +238,45 @@ def main(argv: list[str] | None = None) -> dict:
             spine_parts = max(
                 1, min(cores * 2, -(-exp_rows // ROWS_PER_WRITE_TASK))
             )
+            # Small re-agg tiers: AQE's per-exchange stage barriers are pure
+            # fixed cost on a job this size (each exchange materializes and
+            # re-plans — measured ~0.5 s per tier even warm); the plan needs
+            # no runtime re-planning, so run it as one static DAG. Restored
+            # after the write.
+            small_tier = i > 0 and exp_rows < 5_000_000
+            if small_tier:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
             if i > 0:
                 t0 = time.perf_counter()
-                # re-aggregate from the previous tier's checkpointed output
-                # (lazy read → resume-safe chain, no extra job)
-                cur = tree.reaggregate(
+                # Re-aggregate from the previous tier's checkpointed output
+                # (lazy read → resume-safe chain, no extra job). Gap rows
+                # (n_points=0, null stats) are INCLUDED: the previous tier
+                # is gap-filled dense over each series' floored [t0, t1], so
+                # aggregating it bucket-complete yields the dense coarse
+                # tier directly — sum(n_points)=0 and null-skipping
+                # sum/min/max reproduce exactly what a spine LEFT JOIN
+                # would, without building a spine or paying its join
+                # exchange (the fixed cost that capped coarse-tier N→4N
+                # efficiency). Tier periods nest (300 s | 3600 s | 86400 s)
+                # so the floored bounds coincide with the coarse spine.
+                filled = tree.reaggregate(
                     spark.read.parquet(
                         os.path.join(tree_out, f"tier_{DEFAULT_TIERS[i-1].name}")
-                    )
-                    .select(
+                    ).select(
                         "source", "bucket_start", "n_points",
                         "sum_v", "sum_sq", "min_v", "max_v",
-                    )
-                    .filter(F.col("n_points") > 0),
+                    ),
                     tier,
                 )
             else:
-                cur = tree.base_aggregate(prepared, tier)
-            spine = spine_from_bounds(
-                spark, bounds_rows, ["source"], step,
-                num_partitions=spine_parts, series_schema=prepared,
-            )
-            filled = spine.join(
-                cur, on=["source", "bucket_start"], how="left"
-            ).withColumn("n_points", F.coalesce("n_points", F.lit(0)))
+                # gap fill is FUSED into the aggregate (null-valued spine
+                # seeds + non-null count) — no join stage; see
+                # RollupTree.base_aggregate_with_spine
+                spine = spine_from_bounds(
+                    spark, bounds_rows, ["source"], step,
+                    num_partitions=spine_parts, series_schema=prepared,
+                )
+                filled = tree.base_aggregate_with_spine(prepared, tier, spine)
             _write(
                 spark,
                 filled,
@@ -272,6 +287,8 @@ def main(argv: list[str] | None = None) -> dict:
                 values=sources,
                 expected_rows=exp_rows,
             )
+            if small_tier:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
             tier_rows = sum(
                 r["rows"]
                 for r in tree_manifest.lineage()

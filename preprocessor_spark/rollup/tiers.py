@@ -88,6 +88,43 @@ class RollupTree:
             )
         )
 
+    def base_aggregate_with_spine(
+        self, df: DataFrame, tier: TierSpec, spine: DataFrame
+    ) -> DataFrame:
+        """Tier-0 aggregate + gap fill fused into ONE aggregation: union the
+        facts with null-valued seed rows (one per spine bucket) and count
+        NON-NULL values — seed rows materialize their bucket with
+        n_points=0 and null stats, exactly what a spine LEFT JOIN yields,
+        without the join's exchange and sort. The seeds are ≤ |buckets|
+        rows riding a |facts|-row shuffle: free.
+
+        Semantic note vs :meth:`base_aggregate`: ``n_points`` counts
+        non-null values (facts with a null value column contribute to no
+        statistic, including the count)."""
+        v = F.col(self.value_col).cast("double")
+        seeds = spine.select(
+            *self.series_cols,
+            F.col("bucket_start").alias(self.time_col),
+            F.lit(None).cast("double").alias(self.value_col),
+        )
+        facts = df.select(*self.series_cols, self.time_col, self.value_col)
+        return (
+            facts.unionByName(seeds)
+            .groupBy(
+                *self.series_cols,
+                F.window(self.time_col, tier.duration)["start"].alias(
+                    "bucket_start"
+                ),
+            )
+            .agg(
+                F.count(v).alias("n_points"),
+                F.sum(v).alias("sum_v"),
+                F.sum(v * v).alias("sum_sq"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+            )
+        )
+
     # -- tier k → tier k+1 ----------------------------------------------
     def reaggregate(self, tier_df: DataFrame, to_tier: TierSpec) -> DataFrame:
         return (

@@ -158,3 +158,45 @@ def test_two_parallelism_equivalence(spark, tree):
     c = fingerprint(corpus.coalesce(1))
     assert a["n_rows"] == b["n_rows"] == c["n_rows"]
     assert a["fingerprint"] == b["fingerprint"] == c["fingerprint"]
+
+
+def test_base_aggregate_with_spine_equals_join_gapfill(spark):
+    """The fused aggregate+gap-fill (null-valued spine seeds, non-null
+    count) must equal gap_fill(base_aggregate) bucket-for-bucket."""
+    from preprocessor_spark.rollup.tiers import spine_from_bounds, duration_seconds
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 20_000)
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok")
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.rollup.tiers import DEFAULT_TIERS
+
+    tier = DEFAULT_TIERS[0]
+    ref = tree.gap_fill(tree.base_aggregate(corpus, tier), tier)
+    bounds = [
+        tuple(r)
+        for r in corpus.groupBy("source")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("t0"),
+            F.max(F.unix_timestamp("ts")).alias("t1"),
+        )
+        .collect()
+    ]
+    spine = spine_from_bounds(
+        spark, bounds, ["source"], duration_seconds(tier.duration)
+    )
+    got = tree.base_aggregate_with_spine(corpus, tier, spine)
+    cols = ["source", "bucket_start", "n_points", "sum_v", "sum_sq", "min_v", "max_v"]
+    a, b = ref.select(cols), got.select(cols)
+    j = a.alias("a").join(b.alias("b"), ["source", "bucket_start"], "full")
+    bad = j.filter(
+        (F.col("a.n_points") != F.col("b.n_points"))
+        | F.col("a.n_points").isNull()
+        | F.col("b.n_points").isNull()
+        | (F.abs(F.col("a.sum_v") - F.col("b.sum_v")) > 1e-9)
+        | (
+            F.col("a.sum_v").isNull() != F.col("b.sum_v").isNull()
+        )
+    ).count()
+    assert bad == 0
