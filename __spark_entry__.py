@@ -101,6 +101,40 @@ def q_rollup_gapfill_1h(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_retention_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention-policy enforcement over the tier tree: fine tier keeps 7
+    days, coarse tier 30 days (relative to the corpus max ts); per tier the
+    surviving bucket count, earliest surviving bucket, and point mass.
+    The predicate is pure bucket_start arithmetic — partition-prunable."""
+    from preprocessor_spark.rollup.tiers import (
+        RetentionPolicy,
+        RollupTree,
+        TierSpec,
+    )
+
+    ev = _t(spark, sf, "events").select("event_type", "ts", "value")
+    tree = RollupTree(
+        time_col="ts",
+        series_cols=["event_type"],
+        value_col="value",
+        tiers=[TierSpec("1h", "1 hour"), TierSpec("1d", "1 day")],
+    )
+    t1h = tree.base_aggregate(ev, tree.tiers[0])
+    t1d = tree.reaggregate(t1h, tree.tiers[1])
+    now_s = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    pol = RetentionPolicy({"1h": "7 days", "1d": "30 days"})
+    parts = [
+        pol.enforce(df, name, now_s).agg(
+            F.lit(name).alias("tier"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("bucket_start").alias("min_bucket"),
+            F.sum("n_points").cast("bigint").alias("points"),
+        )
+        for name, df in (("1h", t1h), ("1d", t1d))
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user session count with 30-minute inactivity gaps — lag + running
     sum (streaming-style sessionization as batch window algebra)."""
@@ -705,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "rollup_gapfill_1h": q_rollup_gapfill_1h,
+        "retention_tiers": q_retention_tiers,
         "sessionize": q_sessionize,
         # preprocessing operators (reference parity)
         "zscore_value": q_zscore_value,
@@ -1008,6 +1043,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(t.n, 0) AS n_points
             FROM spine s LEFT JOIN t1h t
               ON s.event_type = t.event_type AND s.bucket_start = t.bucket_start
+        """,
+        "retention_tiers": """
+            WITH now_t AS (SELECT epoch(max(ts)) AS now_s FROM events),
+            t1h AS (
+              SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), t1d AS (
+              SELECT event_type, date_trunc('day', b) AS b, sum(n) AS n
+              FROM t1h GROUP BY 1, 2
+            )
+            SELECT '1h' AS tier, count(*) AS n_buckets,
+                   min(b) AS min_bucket, CAST(sum(n) AS BIGINT) AS points
+            FROM t1h, now_t WHERE epoch(b) >= now_s - 7 * 86400
+            UNION ALL
+            SELECT '1d', count(*), min(b), CAST(sum(n) AS BIGINT)
+            FROM t1d, now_t WHERE epoch(b) >= now_s - 30 * 86400
         """,
         "sessionize": """
             WITH g AS (

@@ -213,6 +213,44 @@ class RollupTree:
         )
 
 
+class RetentionPolicy:
+    """Per-tier retention horizons — the policy half of the downsample/
+    retention tree: fine tiers keep a short window, coarse tiers keep
+    progressively longer (or forever), so storage stays bounded while
+    every horizon remains queryable at SOME resolution.
+
+    ``specs`` maps tier name → keep duration ("2 days", "12 hours", …) or
+    None for keep-forever. ``enforce`` is a pure bucket_start predicate —
+    partition-prunable when the tier table is partitioned on
+    days(bucket_start), which is how a 10^12-point deployment expires data
+    (whole-partition drops via ``expired_before``, never row deletes)."""
+
+    def __init__(self, specs: dict[str, str | None]):
+        self.specs = dict(specs)
+
+    def cutoff_epoch(self, tier_name: str, now_epoch_s: int) -> int | None:
+        keep = self.specs.get(tier_name)
+        if keep is None:
+            return None
+        return int(now_epoch_s) - duration_seconds(keep)
+
+    def enforce(
+        self, tier_df: DataFrame, tier_name: str, now_epoch_s: int
+    ) -> DataFrame:
+        """Rows surviving the policy at ``now`` (bucket_start ≥ cutoff)."""
+        cut = self.cutoff_epoch(tier_name, now_epoch_s)
+        if cut is None:
+            return tier_df
+        return tier_df.filter(
+            F.unix_timestamp("bucket_start") >= F.lit(cut)
+        )
+
+    def expired_before(self, tier_name: str, now_epoch_s: int) -> int | None:
+        """Partition-drop boundary: every day-partition strictly before
+        this epoch second is fully expired and can be dropped whole."""
+        return self.cutoff_epoch(tier_name, now_epoch_s)
+
+
 def _duration_minutes(duration: str) -> int:
     qty, unit = duration.split()
     unit = unit.rstrip("s")

@@ -200,3 +200,28 @@ def test_base_aggregate_with_spine_equals_join_gapfill(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_retention_policy_enforce_and_expiry(spark):
+    """Per-tier retention horizons: surviving buckets are exactly those at
+    or after now - keep; None keeps forever; expired_before matches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.rollup.tiers import RetentionPolicy
+
+    buckets = pd.date_range("2020-01-01", periods=72, freq="h")
+    tier = spark.createDataFrame(
+        pd.DataFrame({"bucket_start": buckets, "n_points": 1})
+    )
+    now_s = int(buckets[-1].timestamp())
+    pol = RetentionPolicy({"1h": "1 day", "1d": None})
+    kept = pol.enforce(tier, "1h", now_s)
+    assert kept.count() == 25  # 24h window inclusive of the cutoff bucket
+    assert (
+        kept.agg(F.min("bucket_start")).collect()[0][0]
+        == (buckets[-1] - pd.Timedelta(hours=24)).to_pydatetime()
+    )
+    assert pol.enforce(tier, "1d", now_s).count() == 72  # keep-forever
+    assert pol.expired_before("1h", now_s) == now_s - 86400
+    assert pol.expired_before("1d", now_s) is None
