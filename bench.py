@@ -211,6 +211,29 @@ def main() -> None:
                 "efficiency_prepare",
                 "efficiency_total",
                 "tier_efficiency",
+                "per_rep_efficiencies",
+                "cpu_work_ratio_4N_over_N",
+            )
+            if k in s
+        }
+    # literal two-cluster-sizes evidence (standalone executor JVMs), when
+    # measured — tools/scaling_bench.py --cluster standalone
+    standalone_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "scaling_standalone.json",
+    )
+    if os.path.exists(standalone_path):
+        with open(standalone_path) as f:
+            s = json.load(f)
+        out["scaling_evidence_standalone"] = {
+            k: s[k]
+            for k in (
+                "n_cores",
+                "rollup_throughput_N",
+                "rollup_throughput_4N",
+                "efficiency_rollup",
+                "per_rep_efficiencies",
             )
             if k in s
         }

@@ -68,6 +68,77 @@ add(
     "(band, band-hash) so only colliding docs meet.",
 )
 
+def _tier_plans():
+    from preprocessor_spark.rollup.tiers import (
+        DEFAULT_TIERS,
+        RollupTree,
+        duration_seconds,
+        spine_from_bounds,
+    )
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 50_000)
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok")
+    bounds = [
+        tuple(r)
+        for r in corpus.groupBy("source")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("t0"),
+            F.max(F.unix_timestamp("ts")).alias("t1"),
+        )
+        .collect()
+    ]
+    spine = spine_from_bounds(
+        spark, bounds, ["source"], duration_seconds(DEFAULT_TIERS[0].duration)
+    )
+    fused = tree.base_aggregate_with_spine(corpus, DEFAULT_TIERS[0], spine)
+    dense_reagg = tree.reaggregate(fused, DEFAULT_TIERS[1])
+    return fused, dense_reagg
+
+
+_fused, _dense = _tier_plans()
+add(
+    "Fused tier-0 aggregate + gap fill (base_aggregate_with_spine)",
+    _fused,
+    "Gap fill costs NO join: null-valued spine seed rows ride the facts'\n"
+    "union into ONE partial+final aggregate (count of non-null values), so\n"
+    "the tier tree has a single exchange per tier and no join stages.",
+)
+add(
+    "Dense tier re-aggregation (1h from gap-filled 5m)",
+    _dense,
+    "A gap-filled tier is dense over the floored per-series range and tier\n"
+    "periods nest, so the coarse tier re-aggregates it WITH gap rows —\n"
+    "reproducing the coarse spine exactly with zero spine/join work.",
+)
+
+
+def _chunked_ma_plan():
+    from preprocessor_spark.operators.unbiaser import Unbiaser
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 20_000).withColumn(
+        "v", F.col("n_tok").cast("double")
+    )
+    return Unbiaser(
+        method="ma",
+        window_size=5,
+        series_cols=["source"],
+        value_cols=["v"],
+        tiebreak_cols=["doc_id"],
+        chunk_rows=2_000,
+    ).transform(corpus)
+
+
+add(
+    "Chunked MA unbias — ONE full-width shuffle (Unbiaser(chunk_rows=...))",
+    _chunked_ma_plan(),
+    "Chunk ids come from driver-side packing of value-range time buckets\n"
+    "(one light count aggregate) and reach rows via a BroadcastHashJoin;\n"
+    "the only hash Exchange is the (series, chunk) window itself —\n"
+    "parallelism is series x chunks with exact trailing-window semantics.",
+)
+
 with open("/root/repo/docs/PLANS.md", "w") as f:
     f.write("# Physical-plan evidence\n\n")
     f.write(

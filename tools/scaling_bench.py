@@ -390,13 +390,22 @@ def main():
         "tiers_4N": r4N["tiers"],
     }
     write_report(summary, rN, r4N, args)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # mode-suffixed artifacts: the local-mode scaling.json is the headline
+    # evidence bench.py embeds; the standalone-cluster mode records its own
+    # file instead of clobbering it
+    name = (
+        "scaling.json" if args.cluster == "local" else "scaling_standalone.json"
+    )
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(summary, f)
     print(json.dumps(summary))
 
 
 def write_report(summary, rN, r4N, args):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    report_name = (
+        "BASELINE.md" if args.cluster == "local" else "STANDALONE.md"
+    )
     lines = [
         "# BENCH/BASELINE.md — scaling + throughput evidence",
         "",
@@ -478,7 +487,7 @@ def write_report(summary, rN, r4N, args):
         "meaningful criterion. Rerun: `python tools/scaling_bench.py`.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", report_name), "w") as f:
         f.write("\n".join(lines))
 
 
