@@ -44,11 +44,12 @@ _DEFAULT_CONFS = {
 
 
 def _shuffle_partitions(master: str) -> str:
-    """Initial shuffle partitions scale with cores (AQE coalesces down):
-    4 per core smooths skew stragglers (the corpus has a 30% hot source)
-    without flooding small configs with task-scheduling overhead — a flat
-    floor of 64 measured as pure fixed cost on 2-core runs (tiny tier jobs
-    spent seconds launching 64 near-empty tasks)."""
+    """Initial shuffle partitions = total cores (floor 16). Oversizing to
+    cores×4 measured as pure map-side + scheduling overhead at every scale
+    tried (32-core tier-0 agg: 1.1 s → 0.4 s at cores×1; the multi-stage
+    minhash pipeline: 4.5 s → 2.3 s); skew is handled by AQE's skew-join
+    splitting and the high-cardinality (series, bucket) keys, not by extra
+    reduce partitions. Cluster submits override via --conf."""
     import re
 
     m = re.search(r"local\[(\d+)\]", master or "")
@@ -58,7 +59,7 @@ def _shuffle_partitions(master: str) -> str:
         # non-local master (standalone/yarn): size from the submitted core
         # budget, exported by the launcher
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return str(max(16, cores * 4))
+    return str(max(16, cores))
 
 
 def get_spark(
