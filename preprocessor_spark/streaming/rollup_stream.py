@@ -85,3 +85,36 @@ def stream_tier_to_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a document/sequence ingest: keep the first
+    arrival per content key within the watermark horizon.
+
+    The dedup key is the xxhash64 of the content column (never the payload
+    itself — the state store holds 8-byte keys), plus the event-time column
+    so ``dropDuplicatesWithinWatermark`` can expire state: without a
+    watermark bound, exact-dedup state grows with the corpus forever; with
+    it, state is bounded by the late-data horizon, which is the right
+    contract for an append-only ingest where replays arrive close to the
+    original (cross-horizon dedup belongs to the batch pass —
+    functions/dedup.py — run over the compacted table).
+
+    ``key_cols`` overrides the content hash with explicit key columns.
+    """
+    keyed = (
+        stream
+        if key_cols
+        else stream.withColumn("__dk", F.xxhash64(text_col))
+    )
+    keys = list(key_cols) if key_cols else ["__dk"]
+    out = keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+    return out.drop("__dk") if not key_cols else out

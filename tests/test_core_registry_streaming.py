@@ -298,3 +298,44 @@ def test_content_format_sniffing(spark, tmp_path):
     bad.write_text("no separators here\njust words\n")
     with pytest.raises(ValueError, match="unsupported extension"):
         detect_format(str(bad))
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Watermarked streaming exact-dedup: first arrival per content key
+    survives; stream output matches the batch dedup on the same corpus."""
+    from preprocessor_spark.functions.dedup import dedup_exact
+    from preprocessor_spark.streaming import stream_dedup_exact
+
+    n_unique = 80
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(3 * n_unique)],
+            "text": [f"document body {i % n_unique}" for i in range(3 * n_unique)],
+            "ts": pd.date_range("2024-05-01", periods=3 * n_unique, freq="s"),
+        }
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    dd = stream_dedup_exact(stream, time_col="ts", watermark="10 minutes")
+    out, ck = str(tmp_path / "dedup_out"), str(tmp_path / "dedup_ck")
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n_unique
+    assert got.select("text").distinct().count() == n_unique
+    # same surviving CONTENT as the batch dedup (which representative id
+    # survives differs: batch keeps lowest id, a micro-batch has no
+    # intra-batch arrival order)
+    batch = dedup_exact(spark.read.parquet(src))
+    assert {r["text"] for r in got.select("text").collect()} == {
+        r["text"] for r in batch.select("text").collect()
+    }
