@@ -484,6 +484,45 @@ def q_revenue_by_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-way join breadth: fact ⋈ orders, then the customer→nation→
+    region dim chain joined as BROADCAST hash joins (the canonical
+    star-schema pattern: the fact side never shuffles for the dims)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_rollup_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical grouping-sets summary (ROLLUP event_type → day):
+    per-(type, day), per-type subtotals and the grand total in one
+    aggregate — the OLAP sub/grand-total shape over the events stream."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.rollup("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select("event_type", "day", "n_points", "sum_v")
+    )
+
+
 def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Top-10 customers by revenue (join + agg + top-k)."""
     li = _t(spark, sf, "lineitem")
@@ -774,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational breadth
         "pricing_summary": q_pricing_summary,
         "revenue_by_priority": q_revenue_by_priority,
+        "region_revenue": q_region_revenue,
+        "rollup_grouping": q_rollup_grouping,
         "top_customers": q_top_customers,
         # window-algebra / hash-mirror / derived-invariant oracles
         "interpolate_hourly": q_interpolate_hourly,
@@ -1464,6 +1505,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "rollup_grouping": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS n_points,
+                   round(sum(value), 4) AS sum_v
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('day', ts))
         """,
         "top_customers": """
             WITH rev AS (
