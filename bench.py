@@ -44,6 +44,9 @@ HEADLINE = [
     "similarity_topk",
     "pricing_summary",
     "revenue_by_priority",
+    "region_revenue",
+    "rollup_grouping",
+    "retention_tiers",
     "minhash_neardups",
     "simhash_neardups",
     "ema_unbias",

@@ -21,7 +21,12 @@ from operator import add
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from preprocessor_spark.functions.hashing import md5_h31, md5_h60, perm_hash
+from preprocessor_spark.functions.hashing import (
+    digest_h31,
+    digest_h60,
+    md5_h60,
+    perm_hash,
+)
 from preprocessor_spark.functions.text import words
 
 SIMHASH_BITS = 60  # md5_h60 yields 60 usable bits — 4 pigeonhole chunks of 15
@@ -171,7 +176,12 @@ def minhash_lsh_pairs(
         df.select(
             F.col(id_col), F.explode(mk_shingles(text_col, shingle_k)).alias("__s")
         )
-        .select(id_col, md5_h60("__s").alias("__h1"), md5_h31("__s").alias("__h2"))
+        .select(id_col, F.md5("__s").alias("__m"))  # ONE digest per shingle
+        .select(
+            id_col,
+            digest_h60(F.col("__m")).alias("__h1"),
+            digest_h31(F.col("__m")).alias("__h2"),
+        )
         .persist()
     )
     # signature via num_hashes codegen'd min-aggregates. Two shapes were

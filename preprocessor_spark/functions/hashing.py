@@ -50,6 +50,21 @@ def md5_h31(col: Column | str) -> Column:
     )
 
 
+def digest_h60(m: Column) -> Column:
+    """h1 from an already-computed md5 hex digest column — lets consumers
+    that need BOTH h1 and h2 evaluate md5 once per row."""
+    return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+
+
+def digest_h31(m: Column) -> Column:
+    """h2s from an already-computed md5 hex digest column."""
+    return (
+        F.conv(F.substring(m, 17, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(H2_MASK))
+    )
+
+
 def perm_hash(h1: Column, h2s: Column, i: int) -> Column:
     """i-th double-hashing permutation value (bounded, overflow-free)."""
     return (h1 + F.lit(i) * h2s) % F.lit(MERSENNE61)
