@@ -274,6 +274,59 @@ def q_trim_time_range(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_split_shuffle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """W8 shuffled split: membership is a hash-stable permutation (engine-
+    specific), but the PER-SPLIT COUNTS follow the exact remainder rule —
+    the oracle-checkable surface."""
+    from preprocessor_spark.operators.splitter import TemporalSplitter
+
+    ev = _t(spark, sf, "events")
+    labeled = TemporalSplitter(
+        time_col="ts", tiebreak_cols=["event_id"], shuffle=True, seed=7
+    ).transform(ev)
+    return labeled.groupBy("split_id").agg(
+        F.count(F.lit(1)).alias("sample_count")
+    )
+
+
+def q_split_stratified_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """W9 stratified split: per-(stratum, split) counts follow the W6
+    remainder rule applied to each stratum's total."""
+    from preprocessor_spark.operators.splitter import TemporalSplitter
+
+    ev = _t(spark, sf, "events")
+    out = TemporalSplitter(time_col="ts", seed=7).stratified(ev, "event_type")
+    return out.groupBy("event_type", "split_id").agg(
+        F.count(F.lit(1)).alias("sample_count")
+    )
+
+
+def q_denormalize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """M3 inverse transform: z-score fit → transform → inverse must
+    reproduce the original values (round-6 surface)."""
+    from preprocessor_spark.operators.normalizer import Normalizer
+
+    ev = _t(spark, sf, "events").select("event_id", "value")
+    norm = Normalizer(method="zscore", columns=["value"])
+    params = norm.fit(ev)
+    back = norm.inverse_transform(norm.transform(ev, params), params)
+    return back.select("event_id", F.round("value", 6).alias("value"))
+
+
+def q_lag_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """W11 lag-1 difference per event_type ordered by (ts, event_id)."""
+    from preprocessor_spark.functions.analysis import lag_diff
+
+    ev = _t(spark, sf, "events")
+    out = lag_diff(
+        ev, "value", time_col="ts", series_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value_diff", 6).alias("d1")
+    )
+
+
 # --------------------------------------------------------------- documents
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Token-sequence stats per source over whitespace-tokenized documents
@@ -787,6 +840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_filter": q_outlier_filter,
         "autocorr": q_autocorr,
         "split_six_way": q_split_six_way,
+        "split_shuffle_counts": q_split_shuffle_counts,
+        "split_stratified_counts": q_split_stratified_counts,
+        "denormalize_roundtrip": q_denormalize_roundtrip,
+        "lag_diff": q_lag_diff,
         "trim_time_range": q_trim_time_range,
         # documents / training-data pipeline
         "token_stats": q_token_stats,
@@ -1207,6 +1264,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT split_id, count(*) AS sample_count,
                    min(ts) AS start_time, max(ts) AS end_time
             FROM labeled GROUP BY 1
+        """,
+        "split_shuffle_counts": """
+            WITH n AS (SELECT count(*) AS total FROM events),
+            base AS (
+              SELECT total,
+                     CAST(floor(total * 0.5) AS BIGINT) AS c1,
+                     CAST(floor(total * 0.1) AS BIGINT) AS c2
+              FROM n
+            ), alloc AS (
+              SELECT total, c1, c2, total - (c1 + 5 * c2) AS rem FROM base
+            )
+            SELECT 'd1' AS split_id,
+                   c1 + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS sample_count
+            FROM alloc
+            UNION ALL SELECT 'd2', c2 + CASE WHEN rem > 1 THEN 1 ELSE 0 END FROM alloc
+            UNION ALL SELECT 'd3', c2 + CASE WHEN rem > 2 THEN 1 ELSE 0 END FROM alloc
+            UNION ALL SELECT 'd4', c2 + CASE WHEN rem > 3 THEN 1 ELSE 0 END FROM alloc
+            UNION ALL SELECT 'd5', c2 + CASE WHEN rem > 4 THEN 1 ELSE 0 END FROM alloc
+            UNION ALL SELECT 'd6', c2 FROM alloc
+        """,
+        "split_stratified_counts": """
+            WITH tot AS (
+              SELECT event_type, count(*) AS total FROM events GROUP BY 1
+            ), base AS (
+              SELECT event_type, total,
+                     CAST(floor(total * 0.5) AS BIGINT) AS c1,
+                     CAST(floor(total * 0.1) AS BIGINT) AS c2
+              FROM tot
+            ), alloc AS (
+              SELECT event_type, total, c1, c2,
+                     total - (c1 + 5 * c2) AS rem
+              FROM base
+            ), expanded AS (
+              SELECT event_type, 'd1' AS split_id,
+                     c1 + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS sample_count
+              FROM alloc
+              UNION ALL SELECT event_type, 'd2', c2 + CASE WHEN rem > 1 THEN 1 ELSE 0 END FROM alloc
+              UNION ALL SELECT event_type, 'd3', c2 + CASE WHEN rem > 2 THEN 1 ELSE 0 END FROM alloc
+              UNION ALL SELECT event_type, 'd4', c2 + CASE WHEN rem > 3 THEN 1 ELSE 0 END FROM alloc
+              UNION ALL SELECT event_type, 'd5', c2 + CASE WHEN rem > 4 THEN 1 ELSE 0 END FROM alloc
+              UNION ALL SELECT event_type, 'd6', c2 FROM alloc
+            )
+            SELECT event_type, split_id, sample_count
+            FROM expanded WHERE sample_count > 0
+        """,
+        "denormalize_roundtrip": """
+            SELECT event_id, round(value, 6) AS value FROM events
+        """,
+        "lag_diff": """
+            SELECT event_id, event_type,
+                   round(value - lag(value, 1) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id), 6) AS d1
+            FROM events
         """,
         "trim_time_range": """
             SELECT event_type, count(*) AS n_rows,

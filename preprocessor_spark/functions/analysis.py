@@ -31,10 +31,17 @@ def lag_diff(
     time_col: str = "ts",
     series_cols: list[str] | None = None,
     lag: int = 1,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """W11: x − lag_k(x) — the delta primitive behind delta-of-delta."""
-    w = Window.partitionBy(*(series_cols or [])).orderBy(time_col)
-    return df.withColumn(f"{value_col}_diff", F.col(value_col) - F.lag(value_col, lag).over(w))
+    """W11: x − lag_k(x) — the delta primitive behind delta-of-delta.
+    ``tiebreak_cols`` pin the order under duplicate timestamps (W5
+    determinism)."""
+    w = Window.partitionBy(*(series_cols or [])).orderBy(
+        time_col, *(tiebreak_cols or [])
+    )
+    return df.withColumn(
+        f"{value_col}_diff", F.col(value_col) - F.lag(value_col, lag).over(w)
+    )
 
 
 def autocorrelation(
