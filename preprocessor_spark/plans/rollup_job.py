@@ -246,8 +246,9 @@ def main(argv: list[str] | None = None) -> dict:
             small_tier = i > 0 and exp_rows < 5_000_000
             if small_tier:
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
-            if i > 0:
-                t0 = time.perf_counter()
+            try:
+                if i > 0:
+                    t0 = time.perf_counter()
                 # Re-aggregate from the previous tier's checkpointed output
                 # (lazy read → resume-safe chain, no extra job). Gap rows
                 # (n_points=0, null stats) are INCLUDED: the previous tier
@@ -259,36 +260,41 @@ def main(argv: list[str] | None = None) -> dict:
                 # exchange (the fixed cost that capped coarse-tier N→4N
                 # efficiency). Tier periods nest (300 s | 3600 s | 86400 s)
                 # so the floored bounds coincide with the coarse spine.
-                filled = tree.reaggregate(
-                    spark.read.parquet(
-                        os.path.join(tree_out, f"tier_{DEFAULT_TIERS[i-1].name}")
-                    ).select(
-                        "source", "bucket_start", "n_points",
-                        "sum_v", "sum_sq", "min_v", "max_v",
-                    ),
-                    tier,
+                    filled = tree.reaggregate(
+                        spark.read.parquet(
+                            os.path.join(
+                                tree_out, f"tier_{DEFAULT_TIERS[i-1].name}"
+                            )
+                        ).select(
+                            "source", "bucket_start", "n_points",
+                            "sum_v", "sum_sq", "min_v", "max_v",
+                        ),
+                        tier,
+                    )
+                else:
+                    # gap fill is FUSED into the aggregate (null-valued
+                    # spine seeds + non-null count) — no join stage; see
+                    # RollupTree.base_aggregate_with_spine
+                    spine = spine_from_bounds(
+                        spark, bounds_rows, ["source"], step,
+                        num_partitions=spine_parts, series_schema=prepared,
+                    )
+                    filled = tree.base_aggregate_with_spine(
+                        prepared, tier, spine
+                    )
+                _write(
+                    spark,
+                    filled,
+                    stage=f"tier_{tier.name}",
+                    partition_col="source",
+                    out_path=tier_path,
+                    manifest=tree_manifest,
+                    values=sources,
+                    expected_rows=exp_rows,
                 )
-            else:
-                # gap fill is FUSED into the aggregate (null-valued spine
-                # seeds + non-null count) — no join stage; see
-                # RollupTree.base_aggregate_with_spine
-                spine = spine_from_bounds(
-                    spark, bounds_rows, ["source"], step,
-                    num_partitions=spine_parts, series_schema=prepared,
-                )
-                filled = tree.base_aggregate_with_spine(prepared, tier, spine)
-            _write(
-                spark,
-                filled,
-                stage=f"tier_{tier.name}",
-                partition_col="source",
-                out_path=tier_path,
-                manifest=tree_manifest,
-                values=sources,
-                expected_rows=exp_rows,
-            )
-            if small_tier:
-                spark.conf.set("spark.sql.adaptive.enabled", "true")
+            finally:
+                if small_tier:
+                    spark.conf.set("spark.sql.adaptive.enabled", "true")
             tier_rows = sum(
                 r["rows"]
                 for r in tree_manifest.lineage()
