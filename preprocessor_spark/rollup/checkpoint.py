@@ -71,7 +71,10 @@ ROWS_PER_WRITE_TASK = 500_000  # ~25-30 MB of tier rows per output task
 
 
 def _write_layout(
-    df: DataFrame, partition_col: str, expected_rows: int | None = None
+    df: DataFrame,
+    partition_col: str,
+    expected_rows: int | None = None,
+    n_values: int | None = None,
 ) -> DataFrame:
     """Shape a Hive-partitioned write: without an explicit repartition, a
     ``partitionBy`` write opens one file per (task, partition value) —
@@ -82,16 +85,28 @@ def _write_layout(
     repartition(partition_col) alone).
 
     ``expected_rows`` (when the caller knows the output size — e.g. a
-    gap-filled tier is exactly its spine size) caps the task count to
-    ceil(rows / ROWS_PER_WRITE_TASK): a 46k-row coarse tier writes as ONE
-    task instead of |cores| near-empty ones. Fixed per-task scheduling on
-    tiny tiers was the dominant cost capping N→4N scaling efficiency."""
+    gap-filled tier is exactly its spine size) sizes the task count to
+    ceil(rows / ROWS_PER_WRITE_TASK); ``n_values`` (the known partition-
+    value count) keeps at least min(n_values, cores) tasks even for tiny
+    outputs — ONE task writing S partition dirs serializes S parquet
+    writers (~1.4 s measured per coarse tier regardless of cluster size,
+    the residual fixed cost of the tier tree), whereas value-parallel
+    tasks write their dirs concurrently."""
     cores = df.sparkSession.sparkContext.defaultParallelism
     nparts = max(cores, 1)
-    if expected_rows is not None:
-        nparts = max(1, min(nparts, -(-int(expected_rows) // ROWS_PER_WRITE_TASK)))
     others = [c for c in df.columns if c != partition_col]
     keys = [partition_col, *others[:1]]
+    if expected_rows is not None:
+        rows_based = -(-int(expected_rows) // ROWS_PER_WRITE_TASK)
+        floor_tasks = min(n_values, cores) if n_values else 1
+        if rows_based >= floor_tasks:
+            nparts = max(1, min(nparts, rows_based))
+        else:
+            # tiny output: hash on the partition value ALONE so each task
+            # writes its own dir(s) — value-parallel, no file blow-up
+            # (skew within a tiny tier is irrelevant)
+            nparts = min(nparts, floor_tasks)
+            keys = [partition_col]
     return df.repartition(nparts, *keys)
 
 
@@ -180,7 +195,9 @@ def run_resumable_observed(
     if not pending:
         return {}
     sub = df.filter(F.col(partition_col).isin(pending))
-    sub = _write_layout(sub, partition_col, expected_rows=expected_rows)
+    sub = _write_layout(
+        sub, partition_col, expected_rows=expected_rows, n_values=len(pending)
+    )
     obs = Observation(f"{stage}_counts")
     sub = sub.observe(
         obs,
