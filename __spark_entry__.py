@@ -464,11 +464,14 @@ def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact cosine near-dup pairs among vec_id < 300 at threshold 0.5
-    (the LSH-bucketed variant is the scale path, pytest-verified)."""
+    """Exact cosine near-dup pairs among vec_id < 1000 at threshold 0.4 —
+    tuned to return ~59 pairs at sf0.01 so the oracle actually exercises
+    the cosine/pair logic (round-2 VERDICT: the old 0.5/vec_id<300 window
+    returned 0 rows on both sides — vacuous). This is the explicitly-capped
+    exact O(n²) baseline; the LSH-bucketed variant is the scale path."""
     from preprocessor_spark.functions.similarity import cosine
 
-    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
     l = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     r = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
@@ -481,7 +484,7 @@ def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 4,
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.5)
+        .filter(F.col("cos_sim") >= 0.4)
     )
 
 
@@ -1423,7 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs": """
             WITH sub AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-              FROM embeddings WHERE vec_id < 300
+              FROM embeddings WHERE vec_id < 1000
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.emb, b.emb)
@@ -1432,7 +1435,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sub a JOIN sub b ON a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.emb, b.emb)
                   / (sqrt(list_dot_product(a.emb, a.emb))
-                     * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.5
+                     * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.4
         """,
         "embedding_norms": """
             SELECT label, count(*) AS n_vecs,

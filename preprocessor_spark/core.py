@@ -46,6 +46,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # keys merge over metadata.DEFAULT_VALIDATION_RULES. None disables the
     # data-pass checks entirely (schema-only), {} applies the defaults.
     "validation_rules": {},
+    # reference load_data records validation errors and still returns the
+    # data (data_handler.py:157-166); only the min_rows floor is fatal by
+    # default. strict_validation=True raises on ANY rule violation.
+    "strict_validation": False,
     # opt-in FE-stage output contracts (row preservation + column superset,
     # reference feature_engineering_plugin_base.py:227-266) — eager checks,
     # meant for validation runs
@@ -100,10 +104,14 @@ class PreprocessorCore:
             rules = {"min_rows": self.config["min_rows"]}
             rules.update(vr)
             self.validation_errors = validate_dataset(df, rules)
-        if self.validation_errors:
-            raise ValueError(
-                "data validation failed: " + "; ".join(self.validation_errors)
-            )
+        self.validation_status = "valid" if not self.validation_errors else "invalid"
+        fatal = (
+            self.validation_errors
+            if self.config.get("strict_validation")
+            else [e for e in self.validation_errors if e.startswith("Insufficient rows")]
+        )
+        if fatal:
+            raise ValueError("data validation failed: " + "; ".join(fatal))
         self._data = df
         self._status = "loaded"
         return self

@@ -156,14 +156,18 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
 
 
 def extract_features(
-    df: DataFrame, decode_backend: str = "real", batch_hint: int = 1024
+    df: DataFrame, decode_backend: str = "auto", batch_hint: int = 1024
 ) -> DataFrame:
     """mapInPandas featurization: (media_id, modality, features:array<float>).
 
     ``decode_backend='real'`` decodes BMP/WAV/frame-container payloads
     (media_codecs.py) and featurizes actual pixels/samples; null payloads
-    yield null features. ``'fake'`` is the content-blind hash featurizer."""
-    if decode_backend not in ("real", "fake"):
+    yield null features; undecodable payloads raise. ``'fake'`` is the
+    content-blind hash featurizer. ``'auto'`` (default) tries the real
+    decoder and falls back to the hash featurizer per row when the payload
+    is not one of the in-house formats (e.g. real JPEG/PNG/MP3 bytes), so a
+    mixed corpus never fails mid-job."""
+    if decode_backend not in ("real", "fake", "auto"):
         raise ValueError(f"unknown decode_backend: {decode_backend}")
     out_schema = T.StructType(
         [
@@ -173,17 +177,22 @@ def extract_features(
         ]
     )
 
+    def _one(m, p):
+        if p is None:
+            return None
+        if decode_backend == "real":
+            return _real_features(m, bytes(p)).tolist()
+        try:
+            return _real_features(m, bytes(p)).tolist()
+        except Exception:
+            return _fake_features(pd.Series([bytes(p)]))[0].tolist()
+
     def featurize(iterator):
         for pdf in iterator:
             if decode_backend == "fake":
                 feats = [row.tolist() for row in _fake_features(pdf["payload"])]
             else:
-                feats = [
-                    None
-                    if p is None
-                    else _real_features(m, bytes(p)).tolist()
-                    for m, p in zip(pdf["modality"], pdf["payload"])
-                ]
+                feats = [_one(m, p) for m, p in zip(pdf["modality"], pdf["payload"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -245,6 +245,7 @@ def main(argv: list[str] | None = None) -> dict:
             # after the write.
             small_tier = i > 0 and exp_rows < 5_000_000
             if small_tier:
+                aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
             try:
                 if i > 0:
@@ -294,7 +295,7 @@ def main(argv: list[str] | None = None) -> dict:
                 )
             finally:
                 if small_tier:
-                    spark.conf.set("spark.sql.adaptive.enabled", "true")
+                    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
             tier_rows = sum(
                 r["rows"]
                 for r in tree_manifest.lineage()

@@ -97,10 +97,15 @@ def decode_tier_blocks(
         + [T.StructField(c, T.DoubleType()) for c in FLOAT_STATS]
     )
 
+    blob_cols = [*scols, "ts_blob", "n_points_blob"] + [
+        f"{c}_blob" for c in FLOAT_STATS
+    ]
+
     def decode(iterator):
         for pdf in iterator:
             frames = []
-            for _, r in pdf.iterrows():
+            for vals in zip(*(pdf[c] for c in blob_cols)):
+                r = dict(zip(blob_cols, vals))
                 ts = pd.to_datetime(dod_decode(r["ts_blob"]), unit="s")
                 d = {c: r[c] for c in scols}
                 d["bucket_start"] = ts

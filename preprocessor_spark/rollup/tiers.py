@@ -181,12 +181,20 @@ class RollupTree:
         parallel partials (north rule skew handling).
 
         ``salt_cols`` names the columns hashed into the salt (an id column
-        like doc_id). Default hashes every column — correct but it forces
-        ALL columns (token arrays included) through the shuffle and defeats
-        column pruning; always pass an id column in real jobs."""
+        like doc_id) and is REQUIRED: hashing every column would force ALL
+        columns (token arrays included) through the shuffle and defeat
+        column pruning, so that foot-gun is refused rather than defaulted.
+        Pass a cheap high-cardinality column — the id column if one exists,
+        else the raw time column (finer than the bucket, so hot buckets
+        still spread across salts)."""
+        if not salt_cols:
+            raise ValueError(
+                "salted_aggregate requires explicit salt_cols (e.g. an id "
+                "column, or the raw time column); hashing all columns into "
+                "the salt defeats column pruning and is refused"
+            )
         v = F.col(self.value_col).cast("double")
-        salt_src = salt_cols if salt_cols else df.columns
-        salt = (F.abs(F.xxhash64(*salt_src)) % salt_buckets).alias("__salt")
+        salt = (F.abs(F.xxhash64(*salt_cols)) % salt_buckets).alias("__salt")
         partial = (
             df.groupBy(
                 *self.series_cols,

@@ -97,24 +97,31 @@ def stream_dedup_exact(
     """Streaming exact dedup for a document/sequence ingest: keep the first
     arrival per content key within the watermark horizon.
 
-    The dedup key is the xxhash64 of the content column (never the payload
-    itself — the state store holds 8-byte keys), plus the event-time column
-    so ``dropDuplicatesWithinWatermark`` can expire state: without a
-    watermark bound, exact-dedup state grows with the corpus forever; with
-    it, state is bounded by the late-data horizon, which is the right
-    contract for an append-only ingest where replays arrive close to the
-    original (cross-horizon dedup belongs to the batch pass —
-    functions/dedup.py — run over the compacted table).
+    The dedup key is a pair of independent content hashes — xxhash64 plus
+    the first 8 bytes of md5 — never the payload itself, so the state store
+    holds 16 bytes per document.  One 64-bit hash alone is NOT exact at the
+    corpus scales this engine targets (a billion docs makes a collision
+    likely by the birthday bound, silently dropping a distinct document);
+    two independent 64-bit families push the collision probability below
+    ~1e-18 at 10^9 keys.  The watermark on the event-time column lets
+    ``dropDuplicatesWithinWatermark`` expire state (the time column itself
+    is NOT part of the key): without the bound, exact-dedup state grows with
+    the corpus forever; with it, state is bounded by the late-data horizon,
+    which is the right contract for an append-only ingest where replays
+    arrive close to the original (cross-horizon dedup belongs to the batch
+    pass — functions/dedup.py — run over the compacted table).
 
-    ``key_cols`` overrides the content hash with explicit key columns.
+    ``key_cols`` overrides the content hashes with explicit key columns.
     """
     keyed = (
         stream
         if key_cols
-        else stream.withColumn("__dk", F.xxhash64(text_col))
+        else stream.withColumn("__dk", F.xxhash64(text_col)).withColumn(
+            "__dk2", F.conv(F.substring(F.md5(text_col), 1, 16), 16, 10)
+        )
     )
-    keys = list(key_cols) if key_cols else ["__dk"]
+    keys = list(key_cols) if key_cols else ["__dk", "__dk2"]
     out = keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
-    return out.drop("__dk") if not key_cols else out
+    return out.drop("__dk", "__dk2") if not key_cols else out

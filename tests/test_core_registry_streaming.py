@@ -228,18 +228,35 @@ def test_validation_rules_gate_load(spark):
     assert validate_dataset(clean) == []
 
 
-def test_core_load_raises_on_validation_failure(spark):
+def test_core_load_records_validation_like_reference(spark):
+    """Reference load_data records validation errors and still returns the
+    data (data_handler.py:157-166); only min_rows is fatal by default, and
+    strict_validation=True upgrades every violation to a raise."""
     dup = spark.createDataFrame(pd.DataFrame({"v": [1.0] * 19 + [2.0]}))
     core = PreprocessorCore(spark, config={"min_rows": 5})
-    with pytest.raises(ValueError, match="duplicate"):
-        core.load(dup)
+    core.load(dup)  # >25% duplicate rows: recorded, NOT fatal
     assert core.validation_errors
+    assert core.validation_status == "invalid"
+    assert core.get_processing_status()["status"] == "loaded"
+
+    strict = PreprocessorCore(
+        spark, config={"min_rows": 5, "strict_validation": True}
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        strict.load(dup)
+
+    # min_rows floor stays fatal regardless of strictness
+    tiny = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="Insufficient rows"):
+        PreprocessorCore(spark, config={"min_rows": 5}).load(tiny)
+
     # explicit None disables the data-pass gates
     core2 = PreprocessorCore(
         spark, config={"min_rows": 5, "validation_rules": None}
     )
     core2.load(dup)
     assert core2.validation_errors == []
+    assert core2.validation_status == "valid"
 
 
 def test_pipeline_output_contracts(spark, raw_pdf):

@@ -86,13 +86,20 @@ def test_salted_aggregate_equals_unsalted(spark, corpus, tree):
         .reset_index(drop=True)
     )
     b = (
-        tree.salted_aggregate(corpus, t, salt_buckets=8)
+        tree.salted_aggregate(corpus, t, salt_buckets=8, salt_cols=["doc_id"])
         .toPandas()
         .sort_values(["source", "bucket_start"])
         .reset_index(drop=True)
     )
     assert (a["n_points"].values == b["n_points"].values).all()
     assert abs(a["sum_v"].values - b["sum_v"].values).max() < 1e-6
+
+
+def test_salted_aggregate_refuses_all_column_salt(spark, corpus, tree):
+    # hashing every column into the salt defeats column pruning (VERDICT r2
+    # item 5) — the default must refuse, not silently widen the shuffle
+    with pytest.raises(ValueError, match="salt_cols"):
+        tree.salted_aggregate(corpus, TierSpec("1h", "1 hour"))
 
 
 def test_gap_fill_dense_and_zero_counts(spark, corpus, tree):

@@ -110,6 +110,17 @@ def test_multimodal_plumbing(spark):
     assert diff == 0
     # the content-blind hash featurizer also still works
     assert extract_features(media, decode_backend="fake").count() == 300
+    # 'auto' (the default): real decode for in-house formats, per-row hash
+    # fallback for foreign payloads (e.g. JPEG bytes) — never throws mid-job
+    foreign = media.withColumn(
+        "payload",
+        F.when(F.col("modality") == "image", F.lit(b"\xff\xd8\xff\xe0junk")).otherwise(
+            F.col("payload")
+        ),
+    )
+    auto = extract_features(foreign).cache()
+    assert auto.count() == 300
+    assert auto.filter(F.col("features").isNull()).count() == 0
     # resize plan: target box bounded and aspect preserved-ish
     imgs = resize_images(media.filter("modality = 'image'"), max_side=256)
     bad = imgs.filter(
