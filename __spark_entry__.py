@@ -828,6 +828,109 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(e, list(q), k=10, num_planes=6, round_digits=4)
 
 
+def q_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end multimodal pipeline with a pure-arithmetic oracle
+    (reference has no media path — engine addition; VERDICT r2 item 3).
+
+    Every synthesis parameter of the media table derives from hex
+    substrings of md5(doc_id) (multimodal.synth_media_sql), so DuckDB can
+    recompute — WITHOUT decoding a byte — what the Spark side must observe
+    after running the REAL pipeline over REAL encoded payloads:
+
+      * payload_bytes   — exact encoded size (verifies the BMP/WAV/frame
+        encoders write the spec'd byte layout: headers, 4-byte row padding,
+        PCM sample width, per-frame concatenation);
+      * dec_w/dec_h     — round(features[0..1]·4096): real decode must read
+        the dimensions back out of the encoded headers;
+      * content_level   — image/video: round(mean-channel feature·255) = the
+        constant fill value; audio: round(rms feature·32768) = |amplitude|.
+        Exact by construction (constant fill ⇒ every float op is exact, see
+        test_multimodal_oracle_arithmetic), so the oracle checks DECODED
+        CONTENT, not just plumbing;
+      * n_samples_dec   — audio duration feature inverted to the sample
+        count;
+      * target_width/height — aspect-preserving resize boxes at max_side=32
+        (image + video rows);
+      * n_frames_plan / n_frames_real — frame count from the native
+        sequence/explode plan vs. frames actually decoded by walking the
+        container's bfSize seek table;
+      * resized_bytes   — byte size of the re-encoded payload after the
+        REAL nearest-neighbor resize (decode → resize → encode round-trip).
+
+    500 rows at sf0.01 — each stage is mapInPandas over Arrow batches; at
+    scale the media table would be persisted once and partitioned by
+    modality (multimodal.py module docstring) instead of re-derived per
+    stage as this small oracle query does."""
+    from preprocessor_spark.functions.multimodal import (
+        extract_features,
+        extract_sampled_frames,
+        resize_images,
+        sample_frames,
+        synth_media_sql,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    media = synth_media_sql(docs)
+    is_audio = F.col("modality") == "audio"
+
+    feats = extract_features(media, decode_backend="real").select(
+        "media_id",
+        F.when(
+            ~is_audio, F.round(F.element_at("features", 1) * 4096).cast("int")
+        ).alias("dec_w"),
+        F.when(
+            ~is_audio, F.round(F.element_at("features", 2) * 4096).cast("int")
+        ).alias("dec_h"),
+        F.when(is_audio, F.round(F.element_at("features", 2) * 32768))
+        .otherwise(F.round(F.element_at("features", 3) * 255))
+        .cast("int")
+        .alias("content_level"),
+        F.when(
+            is_audio,
+            F.round(F.element_at("features", 1) * 60 * 8000).cast("int"),
+        ).alias("n_samples_dec"),
+    )
+    meta = resize_images(media, max_side=32, backend="metadata").select(
+        "media_id",
+        "modality",
+        F.length("payload").cast("int").alias("payload_bytes"),
+        "target_width",
+        "target_height",
+    )
+    frames_plan = (
+        sample_frames(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count("frame_ms").cast("int").alias("n_frames_plan"))
+    )
+    frames_real = (
+        extract_sampled_frames(media.filter(F.col("modality") == "video"))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_frames_real"))
+    )
+    resized = (
+        resize_images(
+            media.filter(F.col("modality") == "image"), max_side=32,
+            backend="real",
+        )
+        .select("media_id", F.length("payload").cast("int").alias("resized_bytes"))
+    )
+    return (
+        meta.join(feats, "media_id")
+        .join(frames_plan, "media_id")
+        .join(frames_real, "media_id", "left")
+        .join(resized, "media_id", "left")
+        .select(
+            "media_id", "modality", "payload_bytes", "dec_w", "dec_h",
+            "content_level", "n_samples_dec", "target_width", "target_height",
+            "n_frames_plan",
+            F.coalesce("n_frames_real", F.lit(0)).cast("int").alias(
+                "n_frames_real"
+            ),
+            "resized_bytes",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rollup / downsample / retention tree
@@ -885,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "fft_peaks": q_fft_peaks,
         "lsh_topk": q_lsh_topk,
+        # multimodal (engine addition; md5-parameterized arithmetic oracle)
+        "multimodal_pipeline": q_multimodal_pipeline,
     }
 
 
@@ -1732,4 +1837,65 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _mutual_info_oracle_sql(),
         "fft_peaks": _fft_peaks_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
+        # pure-arithmetic mirror of synth_media_sql's md5 parameter layout:
+        # payload sizes from the BMP/WAV/frame-container byte formulas,
+        # content levels from the constant fill/amplitude, resize boxes from
+        # the same double-precision least/ceil, frame counts from nf — no
+        # decoding anywhere on the oracle side (see q_multimodal_pipeline)
+        "multimodal_pipeline": """
+            WITH p AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS m
+              FROM documents
+            ), d AS (
+              SELECT media_id,
+                ('0x' || substr(m, 1, 2))::BIGINT % 3 AS mi,
+                8 + ('0x' || substr(m, 3, 2))::BIGINT % 56 AS img_w,
+                8 + ('0x' || substr(m, 5, 2))::BIGINT % 40 AS img_h,
+                ('0x' || substr(m, 7, 2))::BIGINT AS fill,
+                2000 + ('0x' || substr(m, 9, 4))::BIGINT % 6000 AS n,
+                ('0x' || substr(m, 13, 4))::BIGINT % 20001 - 10000 AS amp,
+                8 + ('0x' || substr(m, 3, 2))::BIGINT % 16 AS vid_w,
+                8 + ('0x' || substr(m, 5, 2))::BIGINT % 8 AS vid_h,
+                2 + ('0x' || substr(m, 17, 1))::BIGINT % 4 AS nf
+              FROM p
+            ), e AS (
+              SELECT media_id, mi, fill, n, amp, nf,
+                CASE mi WHEN 0 THEN img_w WHEN 2 THEN vid_w END AS w,
+                CASE mi WHEN 0 THEN img_h WHEN 2 THEN vid_h END AS h
+              FROM d
+            ), t AS (
+              SELECT *,
+                CASE WHEN mi <> 1
+                     THEN least(32.0 / w, 32.0 / h, 1.0) END AS scale,
+                CASE WHEN mi <> 1
+                     THEN 3 * w + (4 - (3 * w) % 4) % 4 END AS stride
+              FROM e
+            )
+            SELECT media_id,
+              CASE mi WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS modality,
+              CAST(CASE mi WHEN 0 THEN 54 + h * stride
+                           WHEN 1 THEN 44 + 2 * n
+                           ELSE nf * (54 + h * stride) END AS INT)
+                AS payload_bytes,
+              CAST(w AS INT) AS dec_w,
+              CAST(h AS INT) AS dec_h,
+              CAST(CASE WHEN mi = 1 THEN abs(amp) ELSE fill END AS INT)
+                AS content_level,
+              CAST(CASE WHEN mi = 1 THEN n END AS INT) AS n_samples_dec,
+              CAST(ceil(w * scale) AS INT) AS target_width,
+              CAST(ceil(h * scale) AS INT) AS target_height,
+              CAST(CASE WHEN mi = 2 THEN nf ELSE 0 END AS INT)
+                AS n_frames_plan,
+              CAST(CASE WHEN mi = 2 THEN nf ELSE 0 END AS INT)
+                AS n_frames_real,
+              CAST(CASE WHEN mi = 0 THEN
+                     54 + CAST(ceil(h * scale) AS BIGINT)
+                        * (3 * CAST(ceil(w * scale) AS BIGINT)
+                           + (4 - (3 * CAST(ceil(w * scale) AS BIGINT)) % 4)
+                             % 4)
+                   END AS INT) AS resized_bytes
+            FROM t
+        """,
     }

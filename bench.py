@@ -29,29 +29,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "2000000"))
 
-HEADLINE = [
-    "rollup_1h",
-    "rollup_1d_from_1h",
-    "rollup_gapfill_1h",
-    "sessionize",
-    "zscore_value",
-    "ma_unbias",
-    "split_six_way",
-    "token_stats",
-    "dedup_exact",
-    "dedup_word_set",
-    "text_stats",
-    "similarity_topk",
-    "pricing_summary",
-    "revenue_by_priority",
-    "region_revenue",
-    "rollup_grouping",
-    "retention_tiers",
-    "minhash_neardups",
-    "simhash_neardups",
-    "ema_unbias",
-    "tier_compression_roundtrip",
-]
+# The full driver-contract surface is benched (every queries() entry, in
+# registration order) so per-round regressions are visible across all
+# operators, not just a headline subset (round-2 VERDICT item 6). The set
+# is resolved at runtime from __spark_entry__.queries().
 
 # rows processed by ema_unbias at each SF — reported as rows/s next to the
 # reference's one measured number (73,841 rows in 1.91 s = 38.7k rows/s,
@@ -80,6 +61,7 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    headline = list(qs)
 
     # untimed warmup: exercise the scan → shuffle → agg and pandas-UDF
     # (Arrow + Python worker pool) paths once so the first timed query
@@ -106,7 +88,7 @@ def main() -> None:
     # --bench-warmup).
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for name in HEADLINE:
+        for name in headline:
             try:
                 _consume(qs[name](spark, warm_sf))
             except Exception:  # noqa: BLE001 — warmup must never fail the bench
@@ -116,7 +98,7 @@ def main() -> None:
     # shared VM swing ±50% with host drift; the minimum is the steady-state
     # throughput the engine actually delivers (standard bench practice)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         best = None
         for _rep in range(2):

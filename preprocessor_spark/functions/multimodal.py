@@ -23,7 +23,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -88,6 +88,104 @@ def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
             )
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_media_sql(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table whose every synthesis parameter is a hex
+    substring of ``md5(cast(id, string))`` — the engine's oracle-portable
+    hash idiom (functions/hashing.py) — so a SQL engine can recompute the
+    modality, dimensions, payload byte size, and content level of every row
+    WITHOUT decoding anything, while the Spark side carries REAL encoded
+    payloads (constant-fill 24-bit BMP / 16-bit PCM WAV / concatenated-BMP
+    frames, media_codecs.py). Decoding a payload therefore verifies actual
+    content round-trip against pure arithmetic: the driver's multimodal
+    CORRECTNESS oracle is built on this.
+
+    Parameter layout over the md5 hex digest ``m`` (DuckDB mirror in
+    ``__spark_entry__.oracle_sql()['multimodal_pipeline']``):
+      modality  = hex[1:2]  % 3            → image | audio | video
+      img w, h  = 8 + hex[3:2] % 56, 8 + hex[5:2] % 40
+      fill      = hex[7:2]                 (constant pixel value 0..255)
+      n samples = 2000 + hex[9:4] % 6000   (audio, 8 kHz)
+      amplitude = hex[13:4] % 20001 − 10000 (constant int16 sample)
+      vid w, h  = 8 + hex[3:2] % 16, 8 + hex[5:2] % 8
+      n frames  = 2 + hex[17:1] % 4
+    """
+    m = F.md5(F.col(id_col).cast("string"))
+
+    def hx(start: int, length: int) -> Column:
+        return F.conv(F.substring(m, start, length), 16, 10).cast("long")
+
+    mi = (hx(1, 2) % 3).alias("__mi")
+    img_w, img_h = hx(3, 2) % 56 + 8, hx(5, 2) % 40 + 8
+    vid_w, vid_h = hx(3, 2) % 16 + 8, hx(5, 2) % 8 + 8
+    params = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (mi + 1).cast("int"),
+        ).alias("modality"),
+        F.when(mi == 0, img_w).when(mi == 2, vid_w).cast("int").alias("width"),
+        F.when(mi == 0, img_h).when(mi == 2, vid_h).cast("int").alias("height"),
+        (hx(7, 2)).cast("int").alias("fill"),
+        (hx(9, 4) % 6000 + 2000).cast("int").alias("n_samples"),
+        (hx(13, 4) % 20001 - 10000).cast("int").alias("amp"),
+        (hx(17, 1) % 4 + 2).cast("int").alias("nf"),
+    )
+    # duration: audio = floor(samples·1000/rate); video = frames · 1000 ms
+    params = params.withColumn(
+        "duration_ms",
+        F.when(
+            F.col("modality") == "audio",
+            F.floor(F.col("n_samples") * 1000 / _AUDIO_RATE),
+        )
+        .when(F.col("modality") == "video", F.col("nf") * 1000)
+        .cast("int"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.IntegerType(), True),
+        ]
+    )
+
+    def encode(iterator):
+        for pdf in iterator:
+            payloads, mimes = [], []
+            for mod, w, h, fill, n, amp, nf in zip(
+                pdf["modality"], pdf["width"], pdf["height"], pdf["fill"],
+                pdf["n_samples"], pdf["amp"], pdf["nf"],
+            ):
+                if mod == "image":
+                    arr = np.full((int(h), int(w), 3), int(fill), dtype=np.uint8)
+                    payloads.append(mc.encode_bmp(arr))
+                    mimes.append("image/bmp")
+                elif mod == "audio":
+                    x = np.full(int(n), int(amp), dtype=np.int16)
+                    payloads.append(mc.encode_wav(x, _AUDIO_RATE))
+                    mimes.append("audio/wav")
+                else:
+                    frame = np.full((int(h), int(w), 3), int(fill), dtype=np.uint8)
+                    payloads.append(mc.encode_frames([frame] * int(nf)))
+                    mimes.append("video/x-bmp-frames")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": payloads,
+                    "mime": mimes,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return params.mapInPandas(encode, out_schema)
 
 
 # ----------------------------------------------------------- featurizers

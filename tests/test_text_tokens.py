@@ -249,3 +249,55 @@ def test_multimodal_real_resize_and_frames(spark):
     f = frames.first()
     arr = mc.decode_bmp(bytes(f["frame"]))
     assert arr.shape == (f["height"], f["width"], 3)
+
+
+def test_multimodal_oracle_arithmetic(spark):
+    """synth_media_sql + the real decode pipeline must reproduce the pure
+    md5 arithmetic the driver oracle (oracle_sql()['multimodal_pipeline'])
+    uses — checked here against a THIRD independent implementation
+    (hashlib), so Spark md5, DuckDB md5, and Python md5 all agree on every
+    derived parameter, and the decoded CONTENT (constant fill / amplitude)
+    survives the encode→decode round-trip exactly."""
+    import hashlib
+
+    from preprocessor_spark.functions.multimodal import (
+        extract_features,
+        synth_media_sql,
+    )
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    media = synth_media_sql(ids).cache()
+    feats = {
+        r["media_id"]: (r["modality"], r["features"])
+        for r in extract_features(media, decode_backend="real").collect()
+    }
+    sizes = {
+        r["media_id"]: len(bytes(r["payload"]))
+        for r in media.select("media_id", "payload").collect()
+    }
+    assert len(feats) == 60
+    for i in range(60):
+        m = hashlib.md5(str(i).encode()).hexdigest()
+        hx = lambda s, l: int(m[s - 1 : s - 1 + l], 16)
+        mi = hx(1, 2) % 3
+        modality, f = feats[str(i)]
+        assert modality == ("image", "audio", "video")[mi]
+        if mi == 1:
+            n = 2000 + hx(9, 4) % 6000
+            amp = hx(13, 4) % 20001 - 10000
+            assert sizes[str(i)] == 44 + 2 * n
+            assert round(f[0] * 60 * 8000) == n
+            assert round(f[1] * 32768) == abs(amp)  # rms of constant signal
+        else:
+            if mi == 0:
+                w, h, frames = 8 + hx(3, 2) % 56, 8 + hx(5, 2) % 40, 1
+            else:
+                w, h = 8 + hx(3, 2) % 16, 8 + hx(5, 2) % 8
+                frames = 2 + hx(17, 1) % 4
+            stride = 3 * w + (4 - (3 * w) % 4) % 4
+            assert sizes[str(i)] == frames * (54 + h * stride)
+            assert round(f[0] * 4096) == w and round(f[1] * 4096) == h
+            # decoded mean channel level == the constant fill, exactly
+            assert round(f[2] * 255) == hx(7, 2)
+            assert round(f[5] * 255) == 0  # constant image: zero std
+    media.unpersist()
