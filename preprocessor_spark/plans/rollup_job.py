@@ -162,15 +162,40 @@ def main(argv: list[str] | None = None) -> dict:
     # sortWithinPartitions keeps each file run-length-friendly (source
     # dictionary runs, near-monotone ts → tight parquet encodings) without
     # an extra shuffle.
+    # The event time is stored as epoch SECONDS (int) — the rollup's bucket
+    # key is then two integer ops per row (tss - tss % step) instead of
+    # timestamp/window-struct arithmetic, and the timestamp conversion
+    # happens post-aggregate on |buckets| rows, not |facts| rows.
     prepared_path = os.path.join(out, "prepared")
     t0 = time.perf_counter()
     if not (args.resume and os.path.exists(os.path.join(prepared_path, "_SUCCESS"))):
         unb.transform(normed).select(
-            "ts", "source", "n_tok_z"
-        ).sortWithinPartitions("source", "ts").write.mode("overwrite").parquet(
+            F.unix_timestamp("ts").cast("int").alias("tss"),
+            "source",
+            "n_tok_z",
+        ).sortWithinPartitions("source", "tss").write.mode("overwrite").parquet(
             prepared_path
         )
     prepare_seconds = round(time.perf_counter() - t0, 3)
+    # Scan-split policy for the rollup phase: size input splits to ~4 task
+    # waves per core (SPARK_GRAFT_SCAN_WAVES to override). Spark's default
+    # bytesPerCore sizing yields ~1 wave of large uneven tasks, and AQE
+    # cannot re-split INPUT partitions — the resulting last-wave stragglers
+    # idle most of the cluster (measured 66% core utilization at 4N vs 95%
+    # at N: quantization, not bandwidth, capped the scaling efficiency).
+    try:
+        waves = int(os.environ.get("SPARK_GRAFT_SCAN_WAVES", "4"))
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(prepared_path)
+            for f in fs
+        )
+        cores = spark.sparkContext.defaultParallelism
+        split = max(8 << 20, min(128 << 20, total_bytes // max(cores * waves, 1)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(split)))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+    except OSError:
+        pass
     prepared = spark.read.parquet(prepared_path)
 
     # -- rollup tree with gap-fill + compression ---------------------------
@@ -197,18 +222,20 @@ def main(argv: list[str] | None = None) -> dict:
     # efficiency that the north rule grades.
     def run_tier_tree(tree_out: str, tree_manifest) -> dict:
         from preprocessor_spark.rollup.checkpoint import (
+            ROWS_PER_WRITE_TASK,
             run_resumable_observed as _write,
+            run_resumable_observed_tiers as _write_tiers,
         )
+        from preprocessor_spark.rollup.tiers import ALGEBRAIC
 
         metrics = {}
-        prev_rows = n_rows
         t0 = time.perf_counter()
         bounds_rows = [
             tuple(r)
             for r in prepared.groupBy("source")
             .agg(
-                F.min(F.unix_timestamp("ts")).alias("__t0s"),
-                F.max(F.unix_timestamp("ts")).alias("__t1s"),
+                F.min("tss").cast("long").alias("__t0s"),
+                F.max("tss").cast("long").alias("__t1s"),
             )
             .collect()
         ]
@@ -224,112 +251,148 @@ def main(argv: list[str] | None = None) -> dict:
                 for *_series, t0, t1 in bounds_rows
             )
 
-        for i, tier in enumerate(DEFAULT_TIERS):
-            tier_path = os.path.join(tree_out, f"tier_{tier.name}")
-            step = duration_seconds(tier.duration)
-            # gap-filled output is exactly the spine → size every stage of
-            # this tier (spine partitions, write tasks) to the real row
-            # count instead of |cores|-shaped defaults: coarse tiers run as
-            # 1-2 tasks per stage, removing the fixed scheduling cost that
-            # capped their N→4N efficiency at ~0.25
-            exp_rows = spine_size(step)
-            from preprocessor_spark.rollup.checkpoint import ROWS_PER_WRITE_TASK
+        # ---- tier 0: facts → finest tier (one job) ----------------------
+        base = DEFAULT_TIERS[0]
+        step0 = duration_seconds(base.duration)
+        exp_rows = spine_size(step0)
+        spine_parts = max(1, min(cores * 2, -(-exp_rows // ROWS_PER_WRITE_TASK)))
+        # gap fill is FUSED into the aggregate (null-valued spine seeds +
+        # non-null count) — no join stage; the epoch-integer variant keeps
+        # the whole per-row path in int arithmetic (see
+        # RollupTree.base_aggregate_with_spine_epoch)
+        spine = spine_from_bounds(
+            spark, bounds_rows, ["source"], step0,
+            num_partitions=spine_parts, series_schema=prepared, as_epoch=True,
+        )
+        filled = tree.base_aggregate_with_spine_epoch(prepared, step0, spine)
+        _write(
+            spark,
+            filled,
+            stage=f"tier_{base.name}",
+            partition_col="source",
+            out_path=os.path.join(tree_out, f"tier_{base.name}"),
+            manifest=tree_manifest,
+            values=sources,
+            expected_rows=exp_rows,
+        )
+        tier0_rows = sum(
+            r["rows"]
+            for r in tree_manifest.lineage()
+            if r["stage"] == f"tier_{base.name}"
+        )
+        dt = time.perf_counter() - t0
+        metrics[base.name] = {
+            "seconds": round(dt, 3),
+            "in_points": n_rows,
+            "out_buckets": tier0_rows,
+            "points_per_sec": round(n_rows / dt),
+            "bounds_seconds": bounds_seconds,
+        }
 
-            spine_parts = max(
-                1, min(cores * 2, -(-exp_rows // ROWS_PER_WRITE_TASK))
-            )
-            # Small re-agg tiers: AQE's per-exchange stage barriers are pure
-            # fixed cost on a job this size (each exchange materializes and
-            # re-plans — measured ~0.5 s per tier even warm); the plan needs
-            # no runtime re-planning, so run it as one static DAG. Restored
-            # after the write.
-            small_tier = i > 0 and exp_rows < 5_000_000
-            if small_tier:
-                aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-                spark.conf.set("spark.sql.adaptive.enabled", "false")
-            try:
-                if i > 0:
-                    t0 = time.perf_counter()
-                # Re-aggregate from the previous tier's checkpointed output
-                # (lazy read → resume-safe chain, no extra job). Gap rows
-                # (n_points=0, null stats) are INCLUDED: the previous tier
-                # is gap-filled dense over each series' floored [t0, t1], so
-                # aggregating it bucket-complete yields the dense coarse
-                # tier directly — sum(n_points)=0 and null-skipping
-                # sum/min/max reproduce exactly what a spine LEFT JOIN
-                # would, without building a spine or paying its join
-                # exchange (the fixed cost that capped coarse-tier N→4N
-                # efficiency). Tier periods nest (300 s | 3600 s | 86400 s)
-                # so the floored bounds coincide with the coarse spine.
-                    filled = tree.reaggregate(
-                        spark.read.parquet(
-                            os.path.join(
-                                tree_out, f"tier_{DEFAULT_TIERS[i-1].name}"
-                            )
-                        ).select(
-                            "source", "bucket_start", "n_points",
-                            "sum_v", "sum_sq", "min_v", "max_v",
-                        ),
-                        tier,
-                    )
-                else:
-                    # gap fill is FUSED into the aggregate (null-valued
-                    # spine seeds + non-null count) — no join stage; see
-                    # RollupTree.base_aggregate_with_spine
-                    spine = spine_from_bounds(
-                        spark, bounds_rows, ["source"], step,
-                        num_partitions=spine_parts, series_schema=prepared,
-                    )
-                    filled = tree.base_aggregate_with_spine(
-                        prepared, tier, spine
-                    )
-                _write(
-                    spark,
-                    filled,
-                    stage=f"tier_{tier.name}",
-                    partition_col="source",
-                    out_path=tier_path,
-                    manifest=tree_manifest,
-                    values=sources,
-                    expected_rows=exp_rows,
+        # ---- coarse tiers: the WHOLE chain in ONE job --------------------
+        # Re-aggregate from tier 0's checkpointed output (lazy read →
+        # resume-safe chain). Gap rows (n_points=0, null stats) are
+        # INCLUDED: tier 0 is gap-filled dense over each series' floored
+        # [t0, t1], so aggregating it bucket-complete yields each dense
+        # coarse tier directly — sum(n_points)=0 and null-skipping
+        # sum/min/max reproduce exactly what a spine LEFT JOIN would,
+        # without building a spine. Tier periods nest (300 s | 3600 s |
+        # 86400 s), each coarse tier re-aggregates the previous one INSIDE
+        # one plan (Catalyst reuses the shared aggregate exchange), and one
+        # tier-tagged union write lands every tier — so the whole coarse
+        # half of the tree pays a single job's fixed cost (scheduling,
+        # commit, observation), the cost that previously capped coarse-tier
+        # N→4N scaling efficiency at ~0.33.
+        coarse = DEFAULT_TIERS[1:]
+        if coarse:
+            t0 = time.perf_counter()
+            cur = (
+                spark.read.parquet(
+                    os.path.join(tree_out, f"tier_{base.name}")
                 )
-            finally:
-                if small_tier:
-                    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-            tier_rows = sum(
-                r["rows"]
-                for r in tree_manifest.lineage()
-                if r["stage"] == f"tier_{tier.name}"
+                .select(
+                    "source",
+                    F.unix_timestamp("bucket_start").alias("bucket_epoch"),
+                    *ALGEBRAIC,
+                )
             )
-            dt = time.perf_counter() - t0
-            metrics[tier.name] = {
-                "seconds": round(dt, 3),
-                "in_points": prev_rows,
-                "out_buckets": tier_rows,
-                "points_per_sec": round(prev_rows / dt),
+            tagged = []
+            prev_step = step0
+            for tier in coarse:
+                step = duration_seconds(tier.duration)
+                assert step % prev_step == 0, (
+                    f"tier {tier.name} period must nest in {prev_step}s"
+                )
+                cur = tree.reaggregate_epoch(cur, step)
+                tagged.append(cur.withColumn("tier", F.lit(tier.name)))
+                prev_step = step
+            allc = tagged[0]
+            for t in tagged[1:]:
+                allc = allc.unionByName(t)
+            allc = allc.select(
+                "tier",
+                "source",
+                F.timestamp_seconds("bucket_epoch").alias("bucket_start"),
+                *ALGEBRAIC,
+            )
+            _write_tiers(
+                spark,
+                allc,
+                tier_col="tier",
+                partition_col="source",
+                out_root=tree_out,
+                manifest=tree_manifest,
+                tier_names=[t.name for t in coarse],
+                values=sources,
+            )
+            rows_by_tier = {
+                t.name: sum(
+                    r["rows"]
+                    for r in tree_manifest.lineage()
+                    if r["stage"] == f"tier_{t.name}"
+                )
+                for t in coarse
             }
-            prev_rows = tier_rows
-        metrics[DEFAULT_TIERS[0].name]["bounds_seconds"] = bounds_seconds
+            dt = time.perf_counter() - t0
+            metrics["+".join(t.name for t in coarse)] = {
+                "seconds": round(dt, 3),
+                "in_points": tier0_rows,
+                "out_buckets": sum(rows_by_tier.values()),
+                "points_per_sec": round(tier0_rows / dt),
+                "out_buckets_by_tier": rows_by_tier,
+            }
         return metrics
 
-    if args.bench_warmup:
-        # Warm-run benchmarking: a fresh JVM spends seconds JIT-compiling
-        # every generated stage, a fixed cost that a steady-state cluster
-        # job (the 10^12-scale target: hours of runtime) amortizes to
-        # nothing but which dominates a ~minute sandbox measurement. One
-        # untimed pass through the identical tier plans compiles them; the
-        # timed pass below then measures steady-state throughput.
-        import shutil as _sh
+    # Every stage of the tier tree is statically sized from driver-known
+    # exact row counts (spine sizes, write-task counts, coarse partitions),
+    # so AQE's per-exchange materialize + re-plan barriers are pure fixed
+    # cost here — idle-cluster scheduling gaps that scale with core count,
+    # not data (measured ~0.5 s/exchange even warm). The tree runs as
+    # static DAGs; the caller's AQE setting is restored after.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        if args.bench_warmup:
+            # Warm-run benchmarking: a fresh JVM spends seconds
+            # JIT-compiling every generated stage, a fixed cost that a
+            # steady-state cluster job (the 10^12-scale target: hours of
+            # runtime) amortizes to nothing but which dominates a ~minute
+            # sandbox measurement. One untimed pass through the identical
+            # tier plans compiles them; the timed pass below then measures
+            # steady-state throughput.
+            import shutil as _sh
 
-        warm_out = os.path.join(out, "warmup_tiers")
-        _sh.rmtree(warm_out, ignore_errors=True)
-        os.makedirs(warm_out)
-        run_tier_tree(warm_out, Manifest(os.path.join(warm_out, "m.jsonl")))
-        _sh.rmtree(warm_out, ignore_errors=True)
+            warm_out = os.path.join(out, "warmup_tiers")
+            _sh.rmtree(warm_out, ignore_errors=True)
+            os.makedirs(warm_out)
+            run_tier_tree(warm_out, Manifest(os.path.join(warm_out, "m.jsonl")))
+            _sh.rmtree(warm_out, ignore_errors=True)
 
-    cpu0 = _proc_tree_cpu_seconds()
-    tier_metrics = run_tier_tree(out, manifest)
-    cpu1 = _proc_tree_cpu_seconds()
+        cpu0 = _proc_tree_cpu_seconds()
+        tier_metrics = run_tier_tree(out, manifest)
+        cpu1 = _proc_tree_cpu_seconds()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     rollup_cpu_seconds = (
         round(cpu1 - cpu0, 3) if cpu0 is not None and cpu1 is not None else None
     )

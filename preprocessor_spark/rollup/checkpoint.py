@@ -220,6 +220,105 @@ def run_resumable_observed(
     return counts
 
 
+def run_resumable_observed_tiers(
+    spark: SparkSession,
+    df: DataFrame,
+    tier_col: str,
+    partition_col: str,
+    out_root: str,
+    manifest: Manifest,
+    tier_names: list[str],
+    values: list,
+    stage_prefix: str = "tier_",
+) -> dict[tuple[str, str], int]:
+    """Multi-tier variant of :func:`run_resumable_observed`: ``df`` carries a
+    tier tag column and ONE write action lands every pending
+    (tier, partition) unit — the whole coarse half of a rollup tree pays a
+    single job's fixed cost (scheduling, commit protocol, observation)
+    instead of one per tier, which is what capped the coarse tiers'
+    N→4N scaling efficiency at ~0.33.
+
+    The write is Hive-partitioned by (tier, partition); afterwards each
+    ``tier=X`` directory is moved driver-side into the per-tier layout
+    ``out_root/{stage_prefix}X/{partition_col}=v/`` so readers and the
+    resume contract see exactly the same layout as per-tier writes.
+    Lineage rows are marked per (stage_prefix+tier, partition) with counts
+    from the write's own Observation — the existing manifest contract,
+    unchanged. A crash between the write and the moves leaves the manifest
+    unmarked, so the next run recomputes those units idempotently.
+    """
+    import shutil
+
+    from pyspark.sql import Observation
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pending = [
+        (t, v)
+        for t in tier_names
+        for v in sorted(values)
+        if str(v) not in manifest.completed(stage_prefix + t)
+    ]
+    if not pending:
+        return {}
+    pend_tiers = sorted({t for t, _ in pending})
+    if len(pending) == len(pend_tiers) * len(values):
+        sub = df.filter(F.col(tier_col).isin(pend_tiers))
+    else:  # partially-complete tiers: unit-level predicate
+        cond = None
+        for t, v in pending:
+            c = (F.col(tier_col) == t) & (F.col(partition_col) == v)
+            cond = c if cond is None else (cond | c)
+        sub = df.filter(cond)
+    cores = spark.sparkContext.defaultParallelism
+    # value-parallel layout: one task per (tier, partition) unit up to the
+    # core budget — coarse tiers are tiny, so file sizing is irrelevant but
+    # serializing all parquet writers in one task is not (see _write_layout)
+    sub = sub.repartition(
+        max(1, min(cores, len(pending))), tier_col, partition_col
+    )
+    obs = Observation(f"{stage_prefix}coarse_counts")
+    sub = sub.observe(
+        obs,
+        *[
+            F.sum(
+                F.when(
+                    (F.col(tier_col) == t) & (F.col(partition_col) == v),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias(f"c_{i}")
+            for i, (t, v) in enumerate(pending)
+        ],
+    )
+    tmp = os.path.join(out_root, "__coarse_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    t0 = time.perf_counter()
+    sub.write.mode("overwrite").partitionBy(tier_col, partition_col).parquet(
+        tmp
+    )
+    got = obs.get
+    for t in pend_tiers:
+        src_t = os.path.join(tmp, f"{tier_col}={t}")
+        dest = os.path.join(out_root, stage_prefix + t)
+        os.makedirs(dest, exist_ok=True)
+        if os.path.isdir(src_t):
+            for child in os.listdir(src_t):
+                target = os.path.join(dest, child)
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                elif os.path.exists(target):
+                    os.remove(target)
+                shutil.move(os.path.join(src_t, child), target)
+        open(os.path.join(dest, "_SUCCESS"), "a").close()
+    shutil.rmtree(tmp, ignore_errors=True)
+    dt = round(time.perf_counter() - t0, 3)
+    counts: dict[tuple[str, str], int] = {}
+    for i, (t, v) in enumerate(pending):
+        rows = int(got[f"c_{i}"] or 0)
+        manifest.mark(stage_prefix + t, str(v), rows=rows, seconds=dt)
+        counts[(t, str(v))] = rows
+    return counts
+
+
 def run_resumable(
     spark: SparkSession,
     df: DataFrame,

@@ -125,6 +125,56 @@ class RollupTree:
             )
         )
 
+    def base_aggregate_with_spine_epoch(
+        self, df: DataFrame, step_s: int, spine: DataFrame, epoch_col: str = "tss"
+    ) -> DataFrame:
+        """Epoch-integer twin of :meth:`base_aggregate_with_spine` — the
+        10^12-scale hot path. ``df`` carries the event time as epoch
+        SECONDS (``epoch_col``, int/long) instead of a timestamp, so the
+        per-row bucket key is two integer ops (``tss - tss % step``)
+        rather than the timestamp/window-struct arithmetic of
+        ``F.window`` — and the conversion back to a ``bucket_start``
+        timestamp happens AFTER the aggregate, on |buckets| rows instead
+        of |facts| rows. ``F.window(ts, d)["start"]`` epoch-aligns
+        tumbling windows to ``floor(epoch/step)*step`` for non-negative
+        epochs, which is exactly this integer floor — equivalence is
+        pinned by tests/test_rollup.py::test_epoch_aggregate_equivalence.
+
+        ``spine``: dense (series, bucket_epoch:long) seed rows (e.g. from
+        :func:`spine_from_bounds` with ``as_epoch=True``); gap fill fuses
+        into the aggregate exactly as in the timestamp variant."""
+        v = F.col(self.value_col).cast("double")
+        seeds = spine.select(
+            *self.series_cols,
+            F.col("bucket_epoch").cast("long").alias(epoch_col),
+            F.lit(None).cast("double").alias(self.value_col),
+        )
+        facts = df.select(
+            *self.series_cols,
+            F.col(epoch_col).cast("long").alias(epoch_col),
+            self.value_col,
+        )
+        e = F.col(epoch_col)
+        return (
+            facts.unionByName(seeds)
+            .groupBy(
+                *self.series_cols,
+                (e - e % F.lit(int(step_s))).alias("bucket_epoch"),
+            )
+            .agg(
+                F.count(v).alias("n_points"),
+                F.sum(v).alias("sum_v"),
+                F.sum(v * v).alias("sum_sq"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+            )
+            .select(
+                *self.series_cols,
+                F.timestamp_seconds("bucket_epoch").alias("bucket_start"),
+                *ALGEBRAIC,
+            )
+        )
+
     # -- tier k → tier k+1 ----------------------------------------------
     def reaggregate(self, tier_df: DataFrame, to_tier: TierSpec) -> DataFrame:
         return (
@@ -133,6 +183,28 @@ class RollupTree:
                 F.window("bucket_start", to_tier.duration)["start"].alias(
                     "bucket_start"
                 ),
+            )
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.sum("sum_v").alias("sum_v"),
+                F.sum("sum_sq").alias("sum_sq"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+
+    def reaggregate_epoch(self, tier_df: DataFrame, to_step_s: int) -> DataFrame:
+        """Epoch-integer twin of :meth:`reaggregate`: the input carries its
+        bucket as epoch seconds (``bucket_epoch`` long) and the output
+        stays in epoch space, so a chain of coarse tiers composes in ONE
+        Spark plan with two integer ops per row and no timestamp
+        arithmetic. ``F.window`` equivalence as in
+        :meth:`base_aggregate_with_spine_epoch`."""
+        b = F.col("bucket_epoch")
+        return (
+            tier_df.groupBy(
+                *self.series_cols,
+                (b - b % F.lit(int(to_step_s))).alias("bucket_epoch"),
             )
             .agg(
                 F.sum("n_points").alias("n_points"),
@@ -279,6 +351,7 @@ def spine_from_bounds(
     max_chunk: int = 8192,
     num_partitions: int | None = None,
     series_schema: DataFrame | None = None,
+    as_epoch: bool = False,
 ) -> DataFrame:
     """Dense bucket spine built from per-series [t0, t1] epoch bounds that
     were collected ONCE (e.g. from the finest-tier aggregate) — no extra
@@ -296,6 +369,10 @@ def spine_from_bounds(
     tier itself) — their exact types are copied into the spine so the
     gap-fill join keys match for non-string series columns; without it the
     series columns default to string.
+
+    ``as_epoch``: keep the bucket as epoch seconds (``bucket_epoch`` long)
+    instead of converting to a timestamp — the seed shape
+    :meth:`RollupTree.base_aggregate_with_spine_epoch` consumes.
     """
     from pyspark.sql import types as T
 
@@ -331,7 +408,7 @@ def spine_from_bounds(
     # 2x|cores| near-empty ones (fixed scheduling cost on small tiers).
     cores = spark.sparkContext.defaultParallelism
     chunked = chunked.repartition(num_partitions or max(cores * 2, 8))
-    return chunked.select(
+    exploded = chunked.select(
         *series_cols,
         F.explode(
             F.sequence(
@@ -340,6 +417,11 @@ def spine_from_bounds(
                 F.lit(step),
             )
         ).alias("__es"),
-    ).select(
+    )
+    if as_epoch:
+        return exploded.select(
+            *series_cols, F.col("__es").alias("bucket_epoch")
+        )
+    return exploded.select(
         *series_cols, F.timestamp_seconds(F.col("__es")).alias(time_col)
     )

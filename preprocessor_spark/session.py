@@ -85,4 +85,21 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overrides everything above — the
+    # escape hatch for conf experiments under spark-submit, where a plain
+    # submit-line --conf of a SQL conf would be clobbered by the builder
+    # defaults here (builder configs apply on top of the submit conf).
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
+    # task-side (v2) output commit: job commit renames every task's files
+    # from the DRIVER in v1 — a serial segment that idles the whole cluster
+    # at the end of each write (cost grows with cores held, not with data).
+    # Hadoop confs don't apply through builder.config once the context
+    # exists (the spark-submit path), so set it on the live hadoopConf.
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2"
+    )
+    return spark

@@ -209,6 +209,84 @@ def test_base_aggregate_with_spine_equals_join_gapfill(spark):
     assert bad == 0
 
 
+def test_epoch_aggregate_equivalence(spark):
+    """The epoch-integer hot path (tss ints in, integer-floor buckets,
+    post-agg timestamp conversion) must equal the timestamp/F.window
+    variant bucket-for-bucket, including fused gap-fill seeds — pins the
+    floor(epoch/step)*step == F.window(ts, d)['start'] alignment the
+    10^12-scale job relies on."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.rollup.tiers import (
+        DEFAULT_TIERS,
+        duration_seconds,
+        spine_from_bounds,
+    )
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = token_sequences(spark, 20_000)
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok")
+    tier = DEFAULT_TIERS[0]
+    step = duration_seconds(tier.duration)
+    bounds = [
+        tuple(r)
+        for r in corpus.groupBy("source")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("t0"),
+            F.max(F.unix_timestamp("ts")).alias("t1"),
+        )
+        .collect()
+    ]
+    spine_ts = spine_from_bounds(spark, bounds, ["source"], step)
+    ref = tree.base_aggregate_with_spine(corpus, tier, spine_ts)
+
+    facts_epoch = corpus.select(
+        F.unix_timestamp("ts").cast("int").alias("tss"), "source", "n_tok"
+    )
+    spine_e = spine_from_bounds(spark, bounds, ["source"], step, as_epoch=True)
+    got = tree.base_aggregate_with_spine_epoch(facts_epoch, step, spine_e)
+
+    cols = ["source", "bucket_start", "n_points", "sum_v", "sum_sq", "min_v", "max_v"]
+    j = ref.select(cols).alias("a").join(
+        got.select(cols).alias("b"), ["source", "bucket_start"], "full"
+    )
+    bad = j.filter(
+        (F.col("a.n_points") != F.col("b.n_points"))
+        | F.col("a.n_points").isNull()
+        | F.col("b.n_points").isNull()
+        | (F.abs(F.col("a.sum_v") - F.col("b.sum_v")) > 1e-9)
+        | (F.col("a.sum_v").isNull() != F.col("b.sum_v").isNull())
+    ).count()
+    assert bad == 0
+
+    # the coarse chain: epoch re-agg of the epoch tier == window re-agg
+    for coarse in DEFAULT_TIERS[1:]:
+        cstep = duration_seconds(coarse.duration)
+        ref_c = tree.reaggregate(ref, coarse)
+        got_c = tree.reaggregate_epoch(
+            got.select(
+                "source",
+                F.unix_timestamp("bucket_start").alias("bucket_epoch"),
+                "n_points", "sum_v", "sum_sq", "min_v", "max_v",
+            ),
+            cstep,
+        ).select(
+            "source",
+            F.timestamp_seconds("bucket_epoch").alias("bucket_start"),
+            "n_points", "sum_v", "sum_sq", "min_v", "max_v",
+        )
+        jj = ref_c.select(cols).alias("a").join(
+            got_c.select(cols).alias("b"), ["source", "bucket_start"], "full"
+        )
+        bad_c = jj.filter(
+            (F.col("a.n_points") != F.col("b.n_points"))
+            | F.col("a.n_points").isNull()
+            | F.col("b.n_points").isNull()
+            | (F.abs(F.col("a.sum_v") - F.col("b.sum_v")) > 1e-9)
+        ).count()
+        assert bad_c == 0, f"coarse tier {coarse.name} diverged"
+
+
 def test_retention_policy_enforce_and_expiry(spark):
     """Per-tier retention horizons: surviving buckets are exactly those at
     or after now - keep; None keeps forever; expired_before matches."""

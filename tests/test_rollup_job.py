@@ -48,8 +48,14 @@ def _close(spark, a, b, tol=1e-9):
 
 
 def test_job_tiers_match_library_chain(spark, job_out):
+    """The job's epoch-integer tier path must equal the library's
+    timestamp/F.window chain — prepared stores epoch seconds (tss), so
+    decode it back to a timestamp and rebuild the reference tree."""
     _, out, res = job_out
-    prepared = spark.read.parquet(os.path.join(out, "prepared"))
+    prepared = spark.read.parquet(os.path.join(out, "prepared")).withColumn(
+        "ts", F.timestamp_seconds("tss")
+    )
+    coarse_key = "+".join(t.name for t in DEFAULT_TIERS[1:])
     tree = RollupTree(time_col="ts", series_cols=["source"], value_col="n_tok_z")
     cur = tree.base_aggregate(prepared, DEFAULT_TIERS[0])
     for i, tier in enumerate(DEFAULT_TIERS):
@@ -60,7 +66,12 @@ def test_job_tiers_match_library_chain(spark, job_out):
             TIER_COLS
         )
         assert _close(spark, ref, got), f"tier {tier.name} diverged"
-        assert res["tiers"][tier.name]["out_buckets"] == got.count()
+        reported = (
+            res["tiers"][tier.name]["out_buckets"]
+            if i == 0
+            else res["tiers"][coarse_key]["out_buckets_by_tier"][tier.name]
+        )
+        assert reported == got.count()
 
 
 def test_job_lineage_per_partition(spark, job_out):

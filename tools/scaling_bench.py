@@ -105,6 +105,7 @@ def launch_job(
     warmup: bool = False,
     cluster_url: str | None = None,
     driver_cpus: str | None = None,
+    extra_confs: list[str] | None = None,
 ) -> subprocess.Popen:
     """Launch the job in a fresh JVM via spark-submit at local[cpus].
 
@@ -167,6 +168,9 @@ def launch_job(
             if local_dir
             else []
         ),
+        # experiment confs (--conf k=v on the bench command line) — applied
+        # identically to BOTH configs of every pair
+        *(c for kv in (extra_confs or []) for c in ("--conf", kv)),
         "--py-files",
         pyfiles,
         os.path.join(REPO, "preprocessor_spark", "plans", "rollup_job.py"),
@@ -210,7 +214,7 @@ def strip_tiers(out: str) -> None:
     outputs, blocks, and the manifest so a --resume run skips prepare and
     recomputes ONLY the rollup tree (the graded phase)."""
     for name in os.listdir(out):
-        if name.startswith(("tier_", "blocks_")):
+        if name.startswith(("tier_", "blocks_", "__coarse_tmp")):
             shutil.rmtree(os.path.join(out, name), ignore_errors=True)
     m = os.path.join(out, "manifest.jsonl")
     if os.path.exists(m):
@@ -243,6 +247,13 @@ def main():
         default="full",
         help="'rollup': prepare once, measure only the rollup tree in "
         "short overlapping resume-mode runs (tight pairing)",
+    )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="extra spark conf k=v passed to every launched job (both "
+        "configs of every pair) — for conf experiments",
     )
     ap.add_argument(
         "--len-cap",
@@ -324,6 +335,7 @@ def main():
                         clusters[cpus].url if args.cluster == "standalone" else None
                     ),
                     driver_cpus=driver_cpus[cpus],
+                    extra_confs=args.conf,
                 )
                 offset += cpus
             r = {cpus: collect_job(p, cpus) for cpus, p in procs.items()}
