@@ -62,6 +62,117 @@ def save_params(path: str, sp: StageParams) -> None:
         raise IOError(f"read-back checksum mismatch for {path}")
 
 
+def _dual_checksum(means: dict[str, float], stds: dict[str, float]) -> str:
+    """The reference's parameter checksum, byte-for-byte: md5 of the
+    sort_keys JSON of {means, stds, features:sorted}
+    (app/core/normalization_handler.py:54-63)."""
+    params_str = json.dumps(
+        {"means": means, "stds": stds, "features": sorted(means)},
+        sort_keys=True,
+    )
+    return hashlib.md5(params_str.encode("utf-8")).hexdigest()
+
+
+def _atomic_json(path: str, data: dict[str, Any]) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f, indent=2, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        with open(tmp) as f:  # read-back verify before publish
+            if json.load(f) != json.loads(json.dumps(data, default=str)):
+                raise IOError(f"read-back mismatch writing {path}")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def save_params_dual(
+    dirpath: str,
+    sp: StageParams,
+    *,
+    timestamp: str | None = None,
+    means_file: str = "means.json",
+    stds_file: str = "stds.json",
+) -> None:
+    """Persist fitted z-score params in the reference's DUAL-file layout —
+    separate ``means.json`` / ``stds.json``, each carrying the shared
+    metadata block (timestamp, source datasets, counts, cross-file
+    checksum) — byte-level artifact compatibility with
+    app/core/normalization_handler.py:299-359. The engine's own sidecar
+    (:func:`save_params`) remains the primary format; this writer exists
+    so artifacts interoperate with reference tooling."""
+    if sp.method != "zscore":
+        raise ValueError("dual means/stds layout is defined for zscore params")
+    from datetime import datetime, timezone
+
+    cols = sp.params["columns"]
+    per = sp.params["per_column"]
+    means = {c: per[c]["mean"] for c in cols}
+    stds = {c: per[c]["std"] for c in cols}
+    meta = {
+        "computation_timestamp": timestamp
+        or datetime.now(timezone.utc).isoformat(),
+        "source_datasets": list(sp.fitted_on),
+        "feature_count": len(cols),
+        "sample_count": sp.n_samples,
+        "checksum": _dual_checksum(means, stds),
+    }
+    _atomic_json(
+        os.path.join(dirpath, means_file), {"metadata": meta, "means": means}
+    )
+    _atomic_json(
+        os.path.join(dirpath, stds_file), {"metadata": meta, "stds": stds}
+    )
+
+
+def load_params_dual(
+    dirpath: str,
+    *,
+    means_file: str = "means.json",
+    stds_file: str = "stds.json",
+    stage: str = "normalizer",
+) -> StageParams:
+    """Load reference-layout dual means/stds files into a
+    :class:`StageParams` the engine's Normalizer can transform with.
+    Applies the reference's validation contract
+    (app/core/normalization_handler.py:405-460): the two files must agree
+    on checksum and timestamp, and the recomputed checksum must match."""
+    with open(os.path.join(dirpath, means_file)) as f:
+        means_data = json.load(f)
+    with open(os.path.join(dirpath, stds_file)) as f:
+        stds_data = json.load(f)
+    m_meta, s_meta = means_data["metadata"], stds_data["metadata"]
+    if m_meta["checksum"] != s_meta["checksum"]:
+        raise IOError("means and stds files have inconsistent checksums")
+    if m_meta["computation_timestamp"] != s_meta["computation_timestamp"]:
+        raise IOError("means and stds files have different timestamps")
+    means, stds = means_data["means"], stds_data["stds"]
+    if set(means) != set(stds):
+        raise IOError("means and stds cover different feature sets")
+    if _dual_checksum(means, stds) != m_meta["checksum"]:
+        raise IOError("loaded parameters failed integrity verification")
+    cols = sorted(means)
+    return StageParams(
+        stage=stage,
+        method="zscore",
+        params={
+            "columns": cols,
+            "per_column": {
+                c: {"mean": means[c], "std": stds[c]} for c in cols
+            },
+            "feature_range": [0.0, 1.0],
+            "epsilon": 0.0,
+        },
+        fitted_on=list(m_meta.get("source_datasets", [])),
+        n_samples=int(m_meta.get("sample_count", 0)),
+    )
+
+
 def load_params(path: str) -> StageParams:
     with open(path) as f:
         payload = json.load(f)

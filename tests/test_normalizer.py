@@ -105,3 +105,54 @@ def test_params_persistence_roundtrip(tmp_path, spark, pdf):
     loaded = load_params(p)
     assert loaded.params == params.params
     assert loaded.to_dict()["checksum"] == params.to_dict()["checksum"]
+
+
+def test_params_dual_file_reference_layout(tmp_path, spark, pdf):
+    """Reference-artifact compatibility: the dual means.json/stds.json
+    layout (app/core/normalization_handler.py:299-359) round-trips through
+    the engine, matches the reference's md5-of-sorted-JSON checksum, and
+    the reference's load-side validation (cross-file checksum/timestamp
+    agreement, integrity recompute) is enforced."""
+    import hashlib as hl
+    import json as js
+
+    from preprocessor_spark.params import load_params_dual, save_params_dual
+
+    df = spark.createDataFrame(pdf)
+    params = Normalizer(method="zscore", columns=["a", "b"]).fit(df)
+    save_params_dual(str(tmp_path), params, timestamp="2026-01-01T00:00:00")
+
+    means_data = js.load(open(tmp_path / "means.json"))
+    stds_data = js.load(open(tmp_path / "stds.json"))
+    # independent recomputation of the reference checksum formula
+    expect = hl.md5(
+        js.dumps(
+            {
+                "means": means_data["means"],
+                "stds": stds_data["stds"],
+                "features": sorted(means_data["means"]),
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+    assert means_data["metadata"]["checksum"] == expect
+    assert stds_data["metadata"]["checksum"] == expect
+    assert means_data["metadata"]["sample_count"] == params.n_samples
+
+    loaded = load_params_dual(str(tmp_path))
+    for c in ("a", "b"):
+        assert (
+            loaded.params["per_column"][c] == params.params["per_column"][c]
+        )
+    # the loaded params drive an identical transform
+    a = Normalizer(method="zscore", columns=["a", "b"]).transform(df, params)
+    b = Normalizer(method="zscore", columns=["a", "b"]).transform(df, loaded)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # tampering with one file must fail the reference validation contract
+    stds_data["stds"]["a"] = stds_data["stds"]["a"] + 1.0
+    js.dump(stds_data, open(tmp_path / "stds.json", "w"))
+    import pytest as pt
+
+    with pt.raises(IOError):
+        load_params_dual(str(tmp_path))
