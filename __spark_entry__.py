@@ -353,7 +353,12 @@ def q_token_hist(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: lowest doc_id per identical text (SURVEY training-data
-    dedup, exact tier)."""
+    dedup, exact tier).
+
+    ORACLE SURFACE ONLY: grouping by the full text payload keeps the SQL
+    mirror trivial, but it shuffles document bodies. The production path
+    is ``functions/dedup.py:exact_dedup`` (hash-keyed — payloads never
+    shuffle); benchmark THAT shape, not this one."""
     d = _t(spark, sf, "documents")
     return d.groupBy("text").agg(F.min("doc_id").alias("keep_id")).select(
         "keep_id"

@@ -158,7 +158,7 @@ def minhash_lsh_pairs(
     Caching contract: the hashed-shingle table and the signature DataFrame
     are persisted (the shingle hashes feed the signature aggregate AND both
     verification joins; the signatures feed both sides of the band join).
-    They are attached to the returned DataFrame as ``._minhash_caches``;
+    They are attached to the returned DataFrame as ``._attached_caches``;
     callers that consume the result eagerly should call
     ``release_minhash_cache(result)`` (the bench/driver jobs do). Left
     persisted, they are reclaimed by Spark's LRU block eviction.
@@ -201,26 +201,7 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"__g{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band"),
-    ).select(id_col, "__band.band", "__band.bh")
+    banded = minhash_band_keys(sig, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -268,6 +249,39 @@ def minhash_lsh_pairs(
     )
     _attach_caches(out, (hashed, sig))  # see caching contract above
     return out
+
+
+def minhash_band_keys(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Band keys of a minhash signature table — one row per (doc, band),
+    key = the band's signature slice joined as a string. Factored out of
+    :func:`minhash_lsh_pairs` so bucket-size diagnostics (band-join skew
+    evidence at scale) derive from the EXACT keys the self-join uses."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"__g{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__band.band", "__band.bh")
 
 
 def _attach_caches(result: DataFrame, caches: tuple) -> DataFrame:
@@ -345,23 +359,7 @@ def simhash_near_dups(
     the dominant cost. Caching contract as in :func:`minhash_lsh_pairs` —
     consumers call :func:`release_caches` after materializing."""
     sh = simhash(df, text_col, id_col).persist()
-    chunks = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("simhash", 15 * i)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("__c"),
-    ).select(id_col, "simhash", "__c.ci", "__c.cv")
+    chunks = simhash_chunk_keys(sh, id_col)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -389,6 +387,29 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _attach_caches(out, (sh,))
+
+
+def simhash_chunk_keys(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pigeonhole blocking keys of a simhash table — one row per
+    (doc, 15-bit chunk). Factored out of :func:`simhash_near_dups` so
+    bucket-size diagnostics derive from the exact self-join keys."""
+    return sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__c"),
+    ).select(id_col, "simhash", "__c.ci", "__c.cv")
 
 
 # ------------------------------------------------- embedding cosine near-dup
