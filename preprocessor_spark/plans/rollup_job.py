@@ -169,13 +169,27 @@ def main(argv: list[str] | None = None) -> dict:
     prepared_path = os.path.join(out, "prepared")
     t0 = time.perf_counter()
     if not (args.resume and os.path.exists(os.path.join(prepared_path, "_SUCCESS"))):
+        # Row-group size: parquet scan parallelism is ROW-GROUP-bound — a
+        # file with one row group is one indivisible task no matter what
+        # maxPartitionBytes says. The unbiaser emits one ~file per
+        # (source, chunk), and on a narrow 3-column schema those files
+        # compress to ~1-2 bytes/row: a 14 MB single-row-group file is a
+        # 6M-row task, and 16 such uneven tasks over 8 cores is 2 ragged
+        # waves (measured 66% core utilization at 4N). Small row groups
+        # restore splittability while KEEPING each file's (source, ts)
+        # clustering, so map-side combine in the tier-0 aggregate still
+        # collapses each scan task to its own narrow bucket range. At
+        # production file sizes (hundreds of MB) the default 128 MB group
+        # already yields many groups per file; this floor only matters
+        # when files are small relative to the default.
+        rg_bytes = int(os.environ.get("SPARK_GRAFT_PREPARE_RG_BYTES", 4 << 20))
         unb.transform(normed).select(
             F.unix_timestamp("ts").cast("int").alias("tss"),
             "source",
             "n_tok_z",
-        ).sortWithinPartitions("source", "tss").write.mode("overwrite").parquet(
-            prepared_path
-        )
+        ).sortWithinPartitions("source", "tss").write.mode("overwrite").option(
+            "parquet.block.size", str(rg_bytes)
+        ).parquet(prepared_path)
     prepare_seconds = round(time.perf_counter() - t0, 3)
     # Scan-split policy for the rollup phase: size input splits to ~4 task
     # waves per core (SPARK_GRAFT_SCAN_WAVES to override). Spark's default
