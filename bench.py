@@ -58,7 +58,7 @@ def main() -> None:
     from preprocessor_spark.rollup.tiers import RollupTree
     from preprocessor_spark.synth import token_sequences
 
-    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark = get_spark("bench", master=f"local[{CPUS}]", batch_committer_v2=True)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
     headline = list(qs)

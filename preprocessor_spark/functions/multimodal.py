@@ -253,8 +253,25 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
     return out
 
 
+def _features_auto(modality: str, payload: bytes) -> tuple[list, str]:
+    """'auto' per-row policy: real decode, hash fallback ONLY on the codec's
+    not-an-in-house-format signals (``ValueError`` from magic/format checks,
+    ``struct.error`` from truncated headers). Any other exception is a
+    decoder bug and must surface, not degrade to content-blind features.
+    Returns ``(features, backend_used)``."""
+    import struct as _struct
+
+    try:
+        return _real_features(modality, payload).tolist(), "real"
+    except (ValueError, _struct.error):
+        return _fake_features(pd.Series([payload]))[0].tolist(), "fake"
+
+
 def extract_features(
-    df: DataFrame, decode_backend: str = "auto", batch_hint: int = 1024
+    df: DataFrame,
+    decode_backend: str = "auto",
+    batch_hint: int = 1024,
+    with_backend_col: bool = False,
 ) -> DataFrame:
     """mapInPandas featurization: (media_id, modality, features:array<float>).
 
@@ -262,42 +279,49 @@ def extract_features(
     (media_codecs.py) and featurizes actual pixels/samples; null payloads
     yield null features; undecodable payloads raise. ``'fake'`` is the
     content-blind hash featurizer. ``'auto'`` (default) tries the real
-    decoder and falls back to the hash featurizer per row when the payload
-    is not one of the in-house formats (e.g. real JPEG/PNG/MP3 bytes), so a
-    mixed corpus never fails mid-job."""
+    decoder and falls back to the hash featurizer per row ONLY when the
+    payload is not one of the in-house formats (codec ``ValueError`` /
+    ``struct.error`` — e.g. real JPEG/PNG/MP3 bytes), so a mixed corpus
+    never fails mid-job; any other exception (a decoder bug) still raises
+    so real defects surface. ``with_backend_col=True`` appends a
+    ``feature_backend`` column ('real'/'fake', null payload → null) so
+    silent degradation is observable/aggregatable downstream."""
     if decode_backend not in ("real", "fake", "auto"):
         raise ValueError(f"unknown decode_backend: {decode_backend}")
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.StringType()),
-            T.StructField("modality", T.StringType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
-        ]
-    )
+    fields = [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+    if with_backend_col:
+        fields.append(T.StructField("feature_backend", T.StringType()))
+    out_schema = T.StructType(fields)
 
     def _one(m, p):
+        # returns (features, backend_used)
         if p is None:
-            return None
+            return None, None
         if decode_backend == "real":
-            return _real_features(m, bytes(p)).tolist()
-        try:
-            return _real_features(m, bytes(p)).tolist()
-        except Exception:
-            return _fake_features(pd.Series([bytes(p)]))[0].tolist()
+            return _real_features(m, bytes(p)).tolist(), "real"
+        return _features_auto(m, bytes(p))
 
     def featurize(iterator):
         for pdf in iterator:
             if decode_backend == "fake":
                 feats = [row.tolist() for row in _fake_features(pdf["payload"])]
+                backends = ["fake" if p is not None else None for p in pdf["payload"]]
             else:
-                feats = [_one(m, p) for m, p in zip(pdf["modality"], pdf["payload"])]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "modality": pdf["modality"],
-                    "features": feats,
-                }
-            )
+                pairs = [_one(m, p) for m, p in zip(pdf["modality"], pdf["payload"])]
+                feats = [f for f, _ in pairs]
+                backends = [b for _, b in pairs]
+            cols = {
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "features": feats,
+            }
+            if with_backend_col:
+                cols["feature_backend"] = backends
+            yield pd.DataFrame(cols)
 
     return df.mapInPandas(featurize, out_schema)
 

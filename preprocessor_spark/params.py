@@ -156,6 +156,15 @@ def load_params_dual(
         raise IOError("means and stds cover different feature sets")
     if _dual_checksum(means, stds) != m_meta["checksum"]:
         raise IOError("loaded parameters failed integrity verification")
+    # the reference's parameter validation rejects non-positive stds
+    # (NormalizationParameters raises at construction) — without this, a
+    # hand-authored zero std plus the loaded epsilon of 0.0 would yield
+    # division-by-zero/inf in the subsequent zscore transform
+    bad = sorted(c for c, s in stds.items() if not (float(s) > 0.0))
+    if bad:
+        raise ValueError(
+            f"non-positive std for feature(s) {bad}: stds must be > 0"
+        )
     cols = sorted(means)
     return StageParams(
         stage=stage,

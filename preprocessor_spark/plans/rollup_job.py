@@ -104,7 +104,7 @@ def main(argv: list[str] | None = None) -> dict:
         spine_from_bounds,
     )
 
-    spark = get_spark("rollup_job", master=args.master)
+    spark = get_spark("rollup_job", master=args.master, batch_committer_v2=True)
     spark.sparkContext.setLogLevel("ERROR")
     out = args.output
     os.makedirs(out, exist_ok=True)
@@ -168,7 +168,10 @@ def main(argv: list[str] | None = None) -> dict:
     # happens post-aggregate on |buckets| rows, not |facts| rows.
     prepared_path = os.path.join(out, "prepared")
     t0 = time.perf_counter()
-    if not (args.resume and os.path.exists(os.path.join(prepared_path, "_SUCCESS"))):
+    prepare_ran = not (
+        args.resume and os.path.exists(os.path.join(prepared_path, "_SUCCESS"))
+    )
+    if prepare_ran:
         # Row-group size: parquet scan parallelism is ROW-GROUP-bound — a
         # file with one row group is one indivisible task no matter what
         # maxPartitionBytes says. The unbiaser emits one ~file per
@@ -184,13 +187,18 @@ def main(argv: list[str] | None = None) -> dict:
         # when files are small relative to the default.
         rg_bytes = int(os.environ.get("SPARK_GRAFT_PREPARE_RG_BYTES", 4 << 20))
         unb.transform(normed).select(
-            F.unix_timestamp("ts").cast("int").alias("tss"),
+            # long, not int: int32 epochs silently wrap negative at/after
+            # 2038-01-19 in non-ANSI mode, corrupting bucket keys (the epoch
+            # floor also assumes non-negative epochs). On a sorted column the
+            # parquet dictionary/delta encodings make the width difference
+            # negligible.
+            F.unix_timestamp("ts").cast("long").alias("tss"),
             "source",
             "n_tok_z",
         ).sortWithinPartitions("source", "tss").write.mode("overwrite").option(
             "parquet.block.size", str(rg_bytes)
         ).parquet(prepared_path)
-    prepare_seconds = round(time.perf_counter() - t0, 3)
+    prepare_seconds = round(time.perf_counter() - t0, 3) if prepare_ran else None
     # Scan-split policy for the rollup phase: size input splits to ~4 task
     # waves per core (SPARK_GRAFT_SCAN_WAVES to override). Spark's default
     # bytesPerCore sizing yields ~1 wave of large uneven tasks, and AQE
@@ -334,9 +342,15 @@ def main(argv: list[str] | None = None) -> dict:
             prev_step = step0
             for tier in coarse:
                 step = duration_seconds(tier.duration)
-                assert step % prev_step == 0, (
-                    f"tier {tier.name} period must nest in {prev_step}s"
-                )
+                if step % prev_step != 0:
+                    # Not an assert: the one-job coarse chain is only valid
+                    # when each tier's period nests in the previous one, and
+                    # python -O would strip an assert — a non-nesting custom
+                    # tier must fail loudly, not misalign buckets silently.
+                    raise ValueError(
+                        f"tier {tier.name} period ({step}s) must nest in the "
+                        f"previous tier's period ({prev_step}s)"
+                    )
                 cur = tree.reaggregate_epoch(cur, step)
                 tagged.append(cur.withColumn("tier", F.lit(tier.name)))
                 prev_step = step
@@ -432,8 +446,12 @@ def main(argv: list[str] | None = None) -> dict:
         "input_rows": n_rows,
         "total_seconds": round(total, 3),
         "points_per_sec": round(n_rows / total),
+        # null, not a nonsense number, when the prepare stage was resumed
+        # from a prior run's output (its wall time was ~0 bookkeeping)
         "prepare_seconds": prepare_seconds,
-        "prepare_points_per_sec": round(n_rows / max(prepare_seconds, 1e-9)),
+        "prepare_points_per_sec": (
+            round(n_rows / max(prepare_seconds, 1e-9)) if prepare_ran else None
+        ),
         "rollup_points_per_sec": round(n_rows / max(rollup_seconds, 1e-9)),
         # CPU burned by the whole process tree during the rollup phase —
         # the supplementary work metric for the scaling evidence (equal

@@ -66,12 +66,22 @@ def get_spark(
     app_name: str = "preprocessor_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    batch_committer_v2: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
     the identical entrypoint can be launched at two parallelism levels for
     the N-vs-4N scaling evidence required by BASELINE.md.
+
+    ``batch_committer_v2`` opts the session into the task-side (v2) file
+    output committer. v2 commit is non-atomic at JOB level — a mid-job
+    crash leaves partially-committed task files visible — so it is only
+    safe for jobs whose consumers gate on ``_SUCCESS`` / the run manifest
+    (the rollup job and benches do: ``rollup_job.py`` resume checks
+    ``_SUCCESS``, ``checkpoint.run_resumable*`` record completed stages in
+    the manifest before readers trust them). Interactive / library
+    sessions keep the default v1 driver-side atomic commit.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -94,12 +104,15 @@ def get_spark(
             k, v = kv.split("=", 1)
             builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
-    # task-side (v2) output commit: job commit renames every task's files
-    # from the DRIVER in v1 — a serial segment that idles the whole cluster
-    # at the end of each write (cost grows with cores held, not with data).
-    # Hadoop confs don't apply through builder.config once the context
-    # exists (the spark-submit path), so set it on the live hadoopConf.
-    spark.sparkContext._jsc.hadoopConfiguration().set(
-        "mapreduce.fileoutputcommitter.algorithm.version", "2"
-    )
+    if batch_committer_v2:
+        # task-side (v2) output commit: job commit renames every task's
+        # files from the DRIVER in v1 — a serial segment that idles the
+        # whole cluster at the end of each write (cost grows with cores
+        # held, not with data). Opt-in only: v2 is non-atomic at job level
+        # (see docstring). Hadoop confs don't apply through builder.config
+        # once the context exists (the spark-submit path), so set it on
+        # the live hadoopConf.
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     return spark

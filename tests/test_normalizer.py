@@ -156,3 +156,33 @@ def test_params_dual_file_reference_layout(tmp_path, spark, pdf):
 
     with pt.raises(IOError):
         load_params_dual(str(tmp_path))
+
+
+def test_params_dual_rejects_nonpositive_std(tmp_path):
+    """Reference parity: NormalizationParameters raises on std <= 0
+    (app/core/normalization_handler.py parameter validation). A
+    hand-authored zero std must fail at LOAD, not as inf/NaN in the
+    subsequent zscore transform (loaded epsilon is 0.0)."""
+    import json as js
+
+    import pytest as pt
+
+    from preprocessor_spark.params import _dual_checksum, load_params_dual
+
+    means = {"a": 1.0, "b": 2.0}
+    stds = {"a": 0.0, "b": 1.5}
+    meta = {
+        "computation_timestamp": "2026-01-01T00:00:00",
+        "source_datasets": ["d1"],
+        "feature_count": 2,
+        "sample_count": 10,
+        "checksum": _dual_checksum(means, stds),
+    }
+    js.dump(
+        {"metadata": meta, "means": means}, open(tmp_path / "means.json", "w")
+    )
+    js.dump(
+        {"metadata": meta, "stds": stds}, open(tmp_path / "stds.json", "w")
+    )
+    with pt.raises(ValueError, match="non-positive std"):
+        load_params_dual(str(tmp_path))

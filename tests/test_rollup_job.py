@@ -185,3 +185,48 @@ def test_spine_from_bounds_non_string_series(spark):
     # sensor 1 spans 3 buckets (2 present, 1 gap), sensor 2 spans 1
     assert joined.count() == 4
     assert joined.filter("n_points is not null").count() == 3
+
+
+def test_job_epoch_survives_2038(spark, tmp_path):
+    """The prepared series stores event time as epoch-seconds LONG — int32
+    would wrap negative at/after 2038-01-19 in non-ANSI mode, silently
+    corrupting bucket keys (and the epoch floor assumes non-negative
+    epochs). Run the job on a post-2038 corpus and check the tier buckets
+    land in the right decade."""
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = str(tmp_path / "corpus_2040")
+    shifted = token_sequences(spark, 3_000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 20 YEARS")
+    )
+    shifted.write.mode("overwrite").partitionBy("source").parquet(corpus)
+    out = str(tmp_path / "out_2040")
+    rollup_job.main(["--input", corpus, "--output", out])
+    prepared = spark.read.parquet(os.path.join(out, "prepared"))
+    assert dict(prepared.dtypes)["tss"] == "bigint"
+    assert prepared.filter("tss < 0").count() == 0
+    t5 = spark.read.parquet(os.path.join(out, "tier_5m"))
+    years = [
+        r[0]
+        for r in t5.select(F.year("bucket_start")).distinct().collect()
+    ]
+    assert all(y >= 2038 for y in years), years
+
+
+def test_job_rejects_non_nesting_tier(spark, tmp_path, monkeypatch):
+    """A coarse tier whose period does not nest in the previous tier's must
+    raise (ValueError, not a strippable assert) — the one-job coarse chain
+    would otherwise silently misalign buckets."""
+    import preprocessor_spark.rollup.tiers as tiers_mod
+    from preprocessor_spark.rollup.tiers import TierSpec
+
+    bad = [TierSpec("5m", "5 minutes"), TierSpec("7m", "7 minutes")]
+    # rollup_job.main imports DEFAULT_TIERS from the tiers module at call
+    # time, so patching the module attribute reaches it
+    monkeypatch.setattr(tiers_mod, "DEFAULT_TIERS", bad)
+    corpus = str(tmp_path / "corpus_bad")
+    write_corpus(spark, corpus, 2_000)
+    with pytest.raises(ValueError, match="must nest"):
+        rollup_job.main(
+            ["--input", corpus, "--output", str(tmp_path / "out_bad")]
+        )

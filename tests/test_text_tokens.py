@@ -121,6 +121,27 @@ def test_multimodal_plumbing(spark):
     auto = extract_features(foreign).cache()
     assert auto.count() == 300
     assert auto.filter(F.col("features").isNull()).count() == 0
+    # observability: with_backend_col tags exactly the foreign (image) rows
+    # as hash-fallback, everything else as real decode
+    tagged = extract_features(foreign, with_backend_col=True).cache()
+    n_img = media.filter("modality = 'image'").count()
+    assert tagged.filter(F.col("feature_backend") == "fake").count() == n_img
+    assert (
+        tagged.filter(F.col("feature_backend") == "real").count() == 300 - n_img
+    )
+    # narrow catch: a genuine decoder BUG (non-codec exception) must still
+    # surface under 'auto', not silently degrade to hash features
+    import pytest as pt
+    from unittest import mock
+
+    import preprocessor_spark.functions.multimodal as mm
+
+    assert mm._features_auto("image", b"\xff\xd8junk")[1] == "fake"  # codec signal
+    with mock.patch.object(
+        mm, "_real_features", side_effect=TypeError("decoder bug")
+    ):
+        with pt.raises(TypeError):
+            mm._features_auto("image", b"anything")
     # resize plan: target box bounded and aspect preserved-ish
     imgs = resize_images(media.filter("modality = 'image'"), max_side=256)
     bad = imgs.filter(

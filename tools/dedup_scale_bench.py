@@ -121,7 +121,7 @@ def main():
         simhash_near_dups,
     )
 
-    spark = get_spark("dedup_scale", master=f"local[{args.cpus}]")
+    spark = get_spark("dedup_scale", master=f"local[{args.cpus}]", batch_committer_v2=True)
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_documents(spark, args.rows).persist()
     n = docs.count()  # materialize the corpus outside the timed windows

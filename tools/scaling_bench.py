@@ -275,7 +275,7 @@ def main():
         from preprocessor_spark import get_spark
         from preprocessor_spark.synth import write_corpus
 
-        spark = get_spark("gen", master="local[32]")
+        spark = get_spark("gen", master="local[32]", batch_committer_v2=True)
         write_corpus(spark, corpus, args.rows, len_cap=args.len_cap)
         spark.stop()
 
@@ -363,9 +363,12 @@ def main():
     eff_rollup = (
         r4N["rollup_points_per_sec"] / rN["rollup_points_per_sec"]
     ) / 4
+    # prepare rates are null when the stage was resumed (rollup-phase mode)
     eff_prepare = (
-        r4N["prepare_points_per_sec"] / rN["prepare_points_per_sec"]
-    ) / 4
+        (r4N["prepare_points_per_sec"] / rN["prepare_points_per_sec"]) / 4
+        if rN.get("prepare_points_per_sec") and r4N.get("prepare_points_per_sec")
+        else None
+    )
     tier_eff = {
         t: round(
             (r4N["tiers"][t]["points_per_sec"] / rN["tiers"][t]["points_per_sec"])
@@ -391,7 +394,9 @@ def main():
         ),
         # prepare eff is meaningless in rollup-phase mode (prepare skipped)
         "efficiency_prepare": (
-            round(eff_prepare, 3) if args.phase == "full" else None
+            round(eff_prepare, 3)
+            if args.phase == "full" and eff_prepare is not None
+            else None
         ),
         "throughput_N": rN["points_per_sec"],
         "throughput_4N": r4N["points_per_sec"],
@@ -411,6 +416,11 @@ def main():
     with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(summary, f)
     print(json.dumps(summary))
+
+
+def _fmt_rate(v):
+    # "null (stage resumed)" beats a garbage 1e17 figure in the evidence table
+    return f"{v:,}" if v else "null (stage resumed)"
 
 
 def write_report(summary, rN, r4N, args):
@@ -470,13 +480,14 @@ def write_report(summary, rN, r4N, args):
         "| config | rollup pts/s | prepare pts/s | total wall s |",
         "|---|---|---|---|",
         f"| local[{args.n}] (N) | {rN['rollup_points_per_sec']:,} |"
-        f" {rN['prepare_points_per_sec']:,} | {rN['total_seconds']} |",
+        f" {_fmt_rate(rN['prepare_points_per_sec'])} | {rN['total_seconds']} |",
         f"| local[{4*args.n}] (4N) | {r4N['rollup_points_per_sec']:,} |"
-        f" {r4N['prepare_points_per_sec']:,} | {r4N['total_seconds']} |",
+        f" {_fmt_rate(r4N['prepare_points_per_sec'])} | {r4N['total_seconds']} |",
         "",
         f"**Rollup scaling efficiency: {summary['efficiency_rollup']}**"
         f" (criterion ≥ 0.8 → {'PASS' if summary['efficiency_rollup'] >= 0.8 else 'MISS'});"
-        f" preprocessing stage efficiency {summary['efficiency_prepare']};"
+        f" preprocessing stage efficiency "
+        f"{summary['efficiency_prepare'] if summary['efficiency_prepare'] is not None else 'n/a (rollup-phase mode; see full-phase run)'};"
         f" whole-job efficiency {summary['efficiency_total']}"
         " (includes fixed per-job overhead: session, counts, manifests).",
         "",
