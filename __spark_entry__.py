@@ -473,22 +473,43 @@ def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     tuned to return ~59 pairs at sf0.01 so the oracle actually exercises
     the cosine/pair logic (round-2 VERDICT: the old 0.5/vec_id<300 window
     returned 0 rows on both sides — vacuous). This is the explicitly-capped
-    exact O(n²) baseline; the LSH-bucketed variant is the scale path."""
-    from preprocessor_spark.functions.similarity import cosine
+    exact O(n²) baseline; the LSH-bucketed variant is the scale path.
+
+    Round-3 VERDICT measured this query at 16.9 s — 32% of the whole
+    49-query bench — with the per-pair interpreted-HOF cosine evaluated
+    inside the BroadcastNestedLoopJoin CONDITION (Catalyst substitutes the
+    filter through the projection and pushes it into the join, where it
+    runs on the interpreted Predicate path, single-task). Three fixes,
+    same rounded surface:
+      * each side's L2 norm is computed once per row BELOW the join, so
+        the per-pair expression is a single unrolled codegen dot product
+        (similarity.dot_inline — same products, same summation order);
+      * the cosine is emitted through explode(array(...)) — a Generate
+        node, which predicate pushdown cannot cross, keeping the join
+        condition at the cheap `id_a < id_b` and the heavy arithmetic in
+        a codegen'd operator above it;
+      * the stream side is repartitioned so the pair loop parallelizes
+        instead of running as one task."""
+    from preprocessor_spark.functions.similarity import dot_inline, norm_inline
 
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
-    l = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    r = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dim = 64  # embeddings table dim (TESTDATA.md); static per corpus
+    l = e.repartition(32).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        norm_inline("embedding", dim).alias("na"),
+    )
+    r = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        norm_inline("embedding", dim).alias("nb"),
+    )
+    cos = F.round(
+        dot_inline("ea", "eb", dim) / (F.col("na") * F.col("nb")), 4
+    )
     return (
         l.join(r, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")),
-                4,
-            ).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", F.explode(F.array(cos)).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
     )
 

@@ -420,17 +420,36 @@ def embedding_near_dups(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors: random-hyperplane LSH bucket join + exact
     cosine verification. Hyperplanes are derived deterministically from
     (seed, plane, dim) md5 hashes — no driver-side random state to
-    broadcast, and reproducible in plain SQL."""
-    from preprocessor_spark.functions.similarity import cosine, lsh_bucket
+    broadcast, and reproducible in plain SQL.
+
+    Pass ``dim`` (the embedding dimension — static for any one corpus) to
+    run both the signature and the verification cosine on the unrolled
+    codegen path instead of interpreted higher-order functions. The
+    signature is bit-identical; the verification cosine is bit-identical
+    for double arrays (for float arrays the inline path widens each
+    element to double BEFORE multiplying — strictly more precise than the
+    HOF path's single-precision products)."""
+    from preprocessor_spark.functions.similarity import (
+        cosine,
+        cosine_inline,
+        lsh_bucket,
+    )
 
     base = df.select(id_col, emb_col).withColumn(
-        "__bucket", lsh_bucket(F.col(emb_col), num_planes, seed)
+        "__bucket", lsh_bucket(emb_col, num_planes, seed, dim=dim)
     )
     l, r = base.alias("l"), base.alias("r")
+    la, ra = F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")
+    cos = (
+        cosine_inline(f"l.{emb_col}", f"r.{emb_col}", dim)
+        if dim is not None
+        else cosine(la, ra)
+    )
     cand = l.join(
         r,
         on=[
@@ -440,6 +459,6 @@ def embedding_near_dups(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
-        cosine(F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")).alias("cosine"),
+        cos.alias("cosine"),
     )
     return cand.filter(F.col("cosine") >= threshold)

@@ -36,6 +36,122 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------- codegen (static-dim) variants
+# Spark's higher-order functions (zip_with / aggregate / transform) run on
+# the INTERPRETED expression path — per-element closure dispatch, outside
+# whole-stage codegen. When the embedding dimension is statically known
+# (the normal case: a corpus has one dim), an unrolled sum of element_at
+# products is pure codegen arithmetic, ~an order of magnitude cheaper per
+# pair. The summation is the same left-to-right fold as dot()/norm(), so
+# results are bit-identical (the only divergence is the sign of a -0.0
+# total, which no downstream comparison can observe).
+#
+# The unrolled expression is built as ONE SQL string through F.expr, not by
+# composing Column objects: each Column arithmetic op is a py4j round trip,
+# and 3 × 64-term trees measured 5+ seconds of pure driver-side chatter —
+# the string parse is ~4 ms. Operands may be passed as SQL strings (column
+# names or expressions); Column operands are stringified via their
+# underlying expression's .sql() with a Column-API fallback if that
+# internal accessor ever disappears.
+
+
+def _sql_operand(c: Column | str) -> str | None:
+    if isinstance(c, str):
+        return c
+    try:
+        return c._jc.expr().sql()
+    except Exception:
+        return None  # e.g. a Connect Column — caller falls back to Column API
+
+
+def _dot_inline_cols(a: Column, b: Column, dim: int) -> Column:
+    terms = [
+        F.element_at(a, i + 1).cast("double")
+        * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.expr(c) if isinstance(c, str) else c
+
+
+def dot_inline(a: Column | str, b: Column | str, dim: int) -> Column:
+    sa, sb = _sql_operand(a), _sql_operand(b)
+    if sa is None or sb is None:
+        return _dot_inline_cols(_as_col(a), _as_col(b), dim)
+    return F.expr(
+        " + ".join(
+            f"(CAST(element_at(({sa}), {i + 1}) AS DOUBLE)"
+            f" * CAST(element_at(({sb}), {i + 1}) AS DOUBLE))"
+            for i in range(dim)
+        )
+    )
+
+
+def norm_inline(a: Column | str, dim: int) -> Column:
+    return F.sqrt(dot_inline(a, a, dim))
+
+
+def dot_query_inline(emb: Column | str, query: list[float]) -> Column:
+    """Unrolled dot product against a LITERAL query vector: each component
+    is inlined as a scalar literal. (Inlining the query as an array literal
+    instead — ``element_at(array(...64 casts...), i)`` per term — replicates
+    the array 64×, and the megabyte parse/analyze cost dominated the whole
+    query; scalar literals keep the tree ~1 node per term.)"""
+    e_sql = _sql_operand(emb)
+    if e_sql is None:
+        emb_c = _as_col(emb)
+        terms = [
+            F.element_at(emb_c, i + 1).cast("double") * F.lit(float(x))
+            for i, x in enumerate(query)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return F.expr(
+        " + ".join(
+            f"(CAST(element_at(({e_sql}), {i + 1}) AS DOUBLE)"
+            f" * CAST('{float(x)!r}' AS DOUBLE))"
+            for i, x in enumerate(query)
+        )
+    )
+
+
+def _py_fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-associative sequential double fold — the same order as
+    dot()/dot_inline(), so CPython reproduces Spark's value bit-for-bit
+    (IEEE-754 ops are deterministic given order)."""
+    out = None
+    for x, y in zip(a, b):
+        t = float(x) * float(y)
+        out = t if out is None else out + t
+    return out
+
+
+def py_lsh_bucket(query: list[float], num_planes: int, seed: int) -> int:
+    """Python twin of lsh_bucket for a known query vector: same weights
+    (_plane_weight), same fold order, same sign rule — bit-identical to
+    evaluating the Spark expression on a 1-row DataFrame, without a job."""
+    sig = 0
+    for p in range(num_planes):
+        d = _py_fold_dot(
+            query, [_plane_weight(p, i, seed) for i in range(len(query))]
+        )
+        if d > 0:
+            sig |= 1 << p
+    return sig
+
+
+def cosine_inline(a: Column | str, b: Column | str, dim: int) -> Column:
+    return dot_inline(a, b, dim) / (norm_inline(a, dim) * norm_inline(b, dim))
+
+
 def brute_force_topk(
     df: DataFrame,
     query: list[float],
@@ -75,9 +191,65 @@ def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
     return h / F.lit(float(2**59)) - 1.0
 
 
-def lsh_bucket(emb: Column, num_planes: int = 8, seed: int = 42) -> Column:
+def _plane_weight(plane: int, dim_idx: int, seed: int) -> float:
+    """Python twin of :func:`_plane_component`, bit-identical: CPython and
+    the JVM both round the 60-bit md5-substring integer to double with
+    round-to-nearest-even, and the division by 2^59 is an exact binary
+    scaling — so precomputing the weights driver-side changes nothing in
+    the signature, it only moves 64 md5 evaluations per (row, plane) out
+    of the per-row hot path."""
+    import hashlib
+
+    key = f"plane:{seed}:{plane}:{dim_idx}"
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    return h / float(2**59) - 1.0
+
+
+def lsh_bucket(
+    emb: Column | str,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> Column:
     """Random-hyperplane signature: bit b = sign(dot(emb, plane_b)) packed
-    into a long. Pure expressions — identical on every executor."""
+    into a long. Pure expressions — identical on every executor.
+
+    With ``dim`` given (the normal case — one corpus, one dimension) the
+    plane weights are md5-derived ONCE on the driver and inlined as
+    literals in an unrolled codegen dot product; the dynamic-dim fallback
+    recomputes ``num_planes × dim`` md5 hashes per row on the interpreted
+    HOF path — correct, but ~two orders of magnitude more per-row work."""
+    if dim is not None:
+        e_sql = _sql_operand(emb)
+        if e_sql is not None:
+            # weights inlined as CAST('<repr>' AS DOUBLE): repr() is the
+            # shortest round-tripping decimal, and both Java and CPython
+            # parse it back to the identical double
+            parts = []
+            for p in range(num_planes):
+                d = " + ".join(
+                    f"(CAST(element_at(({e_sql}), {i + 1}) AS DOUBLE)"
+                    f" * CAST('{_plane_weight(p, i, seed)!r}' AS DOUBLE))"
+                    for i in range(dim)
+                )
+                parts.append(
+                    f"(CASE WHEN ({d}) > 0D THEN {1 << p}L ELSE 0L END)"
+                )
+            return F.expr("CAST((" + " + ".join(parts) + ") AS BIGINT)")
+        # Connect Column fallback: same arithmetic via the Column API
+        sig = F.lit(0).cast("long")
+        emb_c = _as_col(emb)
+        for p in range(num_planes):
+            terms = [
+                F.element_at(emb_c, i + 1).cast("double")
+                * F.lit(_plane_weight(p, i, seed))
+                for i in range(dim)
+            ]
+            d = terms[0]
+            for t in terms[1:]:
+                d = d + t
+            sig = sig + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return sig
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
         zipped = F.zip_with(
@@ -110,21 +282,23 @@ def lsh_topk(
     ``round_digits`` rounds the cosine BEFORE the (cosine desc, id) ordering
     so the ranking is reproducible across engines whose float summation
     order differs (the oracle-comparison mode)."""
-    # compute the query's bucket with the same deterministic expressions, on
-    # a 1-row DataFrame (avoids reimplementing the hash in Python)
-    spark = df.sparkSession
-    qdf = spark.range(1).select(
-        F.array(*[F.lit(float(x)) for x in query]).alias("q")
+    import math
+
+    # the query's bucket and norm are driver-side constants: py_lsh_bucket /
+    # _py_fold_dot replay Spark's exact fold order, so no 1-row Spark job
+    # (and no duplicated sign logic that could drift)
+    dim = len(query)
+    qbucket = py_lsh_bucket(list(query), num_planes, seed)
+    q_norm = math.sqrt(_py_fold_dot(query, query))
+    cos = dot_query_inline(emb_col, list(query)) / (
+        norm_inline(emb_col, dim) * F.lit(q_norm)
     )
-    qbucket = qdf.select(lsh_bucket(F.col("q"), num_planes, seed).alias("b")).collect()[
-        0
-    ]["b"]
-    q = F.array(*[F.lit(float(x)) for x in query])
-    cos = cosine(F.col(emb_col).cast("array<double>"), q)
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return (
-        df.withColumn("__bucket", lsh_bucket(F.col(emb_col), num_planes, seed))
+        df.withColumn(
+            "__bucket", lsh_bucket(emb_col, num_planes, seed, dim=dim)
+        )
         .filter(F.col("__bucket") == qbucket)
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)

@@ -61,3 +61,43 @@ def test_ivf_topk_recall(spark, emb_df, vectors):
     ]
     # nprobe == num_cells probes everything → must equal exact search
     assert approx == exact
+
+
+def test_inline_paths_bit_identical_to_hof(spark, emb_df):
+    """The unrolled codegen variants (dot_inline / norm_inline / the
+    dim-given lsh_bucket / py_lsh_bucket) must reproduce the interpreted
+    HOF path bit-for-bit: same products, same left-to-right fold."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.functions.similarity import (
+        _py_fold_dot,
+        cosine,
+        cosine_inline,
+        dot,
+        dot_inline,
+        lsh_bucket,
+        norm,
+        norm_inline,
+        py_lsh_bucket,
+    )
+
+    e = emb_df.withColumn("emb_d", F.col("embedding").cast("array<double>"))
+    # dot/norm/cosine of each row against itself (double arrays → the HOF
+    # and inline paths do identical double arithmetic)
+    cmp = e.select(
+        (dot(F.col("emb_d"), F.col("emb_d"))
+         == dot_inline(F.col("emb_d"), F.col("emb_d"), DIM)).alias("d_eq"),
+        (norm(F.col("emb_d")) == norm_inline("emb_d", DIM)).alias("n_eq"),
+        (cosine(F.col("emb_d"), F.col("emb_d"))
+         == cosine_inline("emb_d", "emb_d", DIM)).alias("c_eq"),
+        (lsh_bucket(F.col("embedding"), 6, 42)
+         == lsh_bucket("embedding", 6, 42, dim=DIM)).alias("b_eq"),
+    )
+    bad = cmp.filter("NOT (d_eq AND n_eq AND c_eq AND b_eq)").count()
+    assert bad == 0
+    # python twins match the Spark expression results on a sample row
+    row = e.select("embedding", lsh_bucket("embedding", 6, 42, dim=DIM).alias("b"),
+                   dot(F.col("emb_d"), F.col("emb_d")).alias("dd")).first()
+    q = [float(x) for x in row["embedding"]]
+    assert py_lsh_bucket(q, 6, 42) == row["b"]
+    assert _py_fold_dot(q, q) == row["dd"]
