@@ -759,10 +759,11 @@ def q_ema_unbias(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs. md5-derived double-hashing signatures
-    (one digest per shingle) are engine-portable, so the DuckDB oracle
-    reproduces the exact candidate set and verified Jaccard; known-duplicate
-    corpus oracle additionally in tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs. md5-derived signatures (one digest per
+    shingle + per-permutation affine transforms) are engine-portable, so
+    the DuckDB oracle reproduces the exact candidate set and verified
+    Jaccard; known-duplicate corpus oracle additionally in
+    tests/test_dedup.py."""
     from preprocessor_spark.functions.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents")
@@ -1022,12 +1023,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _minhash_oracle_sql() -> str:
     """DuckDB mirror of functions/dedup.py:minhash_lsh_pairs (word mode,
     k=3, 64 hashes, 16 bands, threshold 0.5): identical md5-derived
-    double-hashing signatures, identical band keys, identical candidates,
-    true-Jaccard verification over the same distinct 60-bit shingle hashes."""
-    m61 = (1 << 61) - 1
+    signatures (per-permutation affine transforms over the single shingle
+    digest, constants from hashing.perm_coeffs — themselves md5-derived,
+    so a third engine can re-derive them from the seed), identical band
+    keys, identical candidates, true-Jaccard verification over the same
+    distinct 60-bit shingle hashes."""
+    from preprocessor_spark.functions.hashing import MERSENNE31, perm_coeffs
+
+    m31 = MERSENNE31
     num_hashes, bands, rpb = 64, 16, 4
     mins = ",\n             ".join(
-        f"min((h1 + {i}*h2) % {m61}) AS g{i}" for i in range(num_hashes)
+        f"min(({perm_coeffs(i)[0]}*(h1 % {m31}) + {perm_coeffs(i)[1]})"
+        f" % {m31}) AS g{i}"
+        for i in range(num_hashes)
     )
     band_keys = ",\n               ".join(
         "(" + " || ',' || ".join(
@@ -1045,8 +1053,7 @@ def _minhash_oracle_sql() -> str:
                 FROM documents)
         ), h AS (
           SELECT doc_id,
-                 ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-                 ('0x' || substr(md5(s), 17, 15))::BIGINT & 2147483647 AS h2
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1
           FROM sh
         ), sig AS (
           SELECT doc_id,

@@ -96,12 +96,21 @@ def main() -> None:
 
     # two timed passes per query, best kept: single-shot numbers on this
     # shared VM swing ±50% with host drift; the minimum is the steady-state
-    # throughput the engine actually delivers (standard bench practice)
+    # throughput the engine actually delivers (standard bench practice).
+    # The drift-suspect queries (round-3 VERDICT finding 3: 16-50% swings
+    # vs round 2 with unchanged plans) get extra reps so best-of-N sits
+    # below the host's drift band and round-over-round numbers compare.
+    extra_reps = {
+        "minhash_neardups": 4,
+        "simhash_neardups": 4,
+        "tier_compression_roundtrip": 4,
+        "split_six_way": 4,
+    }
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
         best = None
-        for _rep in range(2):
+        for _rep in range(extra_reps.get(name, 2)):
             t0 = time.perf_counter()
             _consume(fn(spark, SF_DIR))
             dt = time.perf_counter() - t0

@@ -22,10 +22,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from preprocessor_spark.functions.hashing import (
-    digest_h31,
     digest_h60,
     md5_h60,
-    perm_hash,
+    perm_hash_affine,
 )
 from preprocessor_spark.functions.text import words
 
@@ -97,33 +96,37 @@ def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
 def minhash_signature(shingles: F.Column, num_hashes: int = 64) -> F.Column:
     """num_hashes-wide MinHash signature over an array of shingle STRINGS.
 
-    One md5 digest per shingle; the permutation family is double hashing
-    ``g_i = (h1 + i·h2s) mod (2^61−1)`` (hashing.py) — NOT one digest per
-    permutation, so hash work is O(|shingles|), not O(64·|shingles|).
-    Expression-level variant (higher-order functions, interpreted path);
-    the pipeline in :func:`minhash_lsh_pairs` uses the exploded + codegen'd
-    min-aggregate shape instead, with bit-identical values."""
-    from preprocessor_spark.functions.hashing import H2_MASK, MERSENNE61
+    One md5 digest per shingle; the permutations are per-permutation affine
+    transforms ``g_i = (a_i·(h1 mod M31) + b_i) mod M31`` (hashing.py —
+    NOT one digest per permutation, so hash work stays O(|shingles|), and
+    NOT i-scaled double hashing, whose negligible perturbation makes every
+    permutation pick the same minimum). Expression-level variant
+    (higher-order functions, interpreted path); the pipeline in
+    :func:`minhash_lsh_pairs` uses the exploded + codegen'd min-aggregate
+    shape instead, with bit-identical values."""
+    from preprocessor_spark.functions.hashing import MERSENNE31, perm_coeffs
 
+    coeffs_a = F.array(
+        *[F.lit(perm_coeffs(i)[0]).cast("long") for i in range(num_hashes)]
+    )
+    coeffs_b = F.array(
+        *[F.lit(perm_coeffs(i)[1]).cast("long") for i in range(num_hashes)]
+    )
     per_shingle = F.transform(
         shingles,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(s), 17, 15), 16, 10)
-            .cast("long")
-            .bitwiseAND(F.lit(H2_MASK))
-            .alias("h2"),
-        ),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MERSENNE31),
     )
-    init = F.array(*[F.lit(MERSENNE61).cast("long")] * num_hashes)
+    init = F.array(*[F.lit(MERSENNE31).cast("long")] * num_hashes)
     return F.aggregate(
         per_shingle,
         init,
-        lambda acc, h: F.zip_with(
+        lambda acc, hb: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: (h["h1"] + i * h["h2"]) % F.lit(MERSENNE61),
+            F.zip_with(
+                coeffs_a,
+                coeffs_b,
+                lambda a, b: (a * hb + b) % F.lit(MERSENNE31),
             ),
             lambda a, b: F.least(a, b),
         ),
@@ -144,10 +147,16 @@ def minhash_lsh_pairs(
       shingle → signature → band key → self-join per band bucket →
       exact-Jaccard verification on the colliding candidates only.
 
-    Hash design (one md5 per shingle + double-hashed permutations) cuts the
-    per-shingle hash work 64× vs a digest-per-permutation lattice, and makes
-    the whole pipeline reproducible in plain SQL: signatures, band keys,
-    candidates and the verified Jaccard are all md5+integer arithmetic.
+    Hash design (one md5 per shingle + per-permutation affine transforms
+    ``g_i = (a_i·(h1 mod M31) + b_i) mod M31``, constants inlined from the
+    driver) cuts the per-shingle hash work 64× vs a digest-per-permutation
+    lattice, and makes the whole pipeline reproducible in plain SQL:
+    signatures, band keys, candidates and the verified Jaccard are all
+    md5+integer arithmetic. (The earlier ``h1 + i·h2s`` double hashing is
+    a MinHash trap — its perturbation is ~1 part in 8M of h1's range, so
+    one shingle wins every permutation and banding degenerates to a single
+    hash function: ~10% recall loss and linear band-bucket growth,
+    measured by tools/dedup_scale_bench.py before the fix.)
 
     Scale: the self-join keys on (band_id, band_key) so only colliding docs
     meet; verification intersects the DISTINCT shingle-hash sets (60-bit
@@ -170,18 +179,16 @@ def minhash_lsh_pairs(
     target_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target_parts:
         df = df.repartition(target_parts, id_col)
-    # one md5 per distinct shingle, cached as compact (id, h1, h2) longs —
-    # 24 bytes per shingle, never the raw shingle strings
+    # one md5 per distinct shingle, cached as compact (id, h1) longs —
+    # 16 bytes per shingle, never the raw shingle strings. The 60-bit h1
+    # serves both the signature base (mod M31) and the collision-free
+    # verification sets; the permutations need no second hash.
     hashed = (
         df.select(
             F.col(id_col), F.explode(mk_shingles(text_col, shingle_k)).alias("__s")
         )
         .select(id_col, F.md5("__s").alias("__m"))  # ONE digest per shingle
-        .select(
-            id_col,
-            digest_h60(F.col("__m")).alias("__h1"),
-            digest_h31(F.col("__m")).alias("__h2"),
-        )
+        .select(id_col, digest_h60(F.col("__m")).alias("__h1"))
         .persist()
     )
     # signature via num_hashes codegen'd min-aggregates. Two shapes were
@@ -195,7 +202,7 @@ def minhash_lsh_pairs(
         hashed.groupBy(id_col)
         .agg(
             *[
-                F.min(perm_hash(F.col("__h1"), F.col("__h2"), i)).alias(f"__g{i}")
+                F.min(perm_hash_affine(F.col("__h1"), i)).alias(f"__g{i}")
                 for i in range(num_hashes)
             ]
         )

@@ -83,3 +83,63 @@ def test_embedding_near_dups(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in got
     assert len(got) == 1
+
+
+def test_minhash_permutations_not_degenerate(spark):
+    """Regression for the double-hashing trap: with g_i = h1 + i*h2s
+    (h2s 31-bit vs h1 60-bit), ONE shingle won every permutation — the
+    64-value signature was rank-1, banding degenerated from
+    1-(1-J^4)^16 to ~J (≈10% recall loss, linear band-bucket growth at
+    scale). The affine family must spread the minima across many distinct
+    winning shingles."""
+    import hashlib
+
+    from preprocessor_spark.functions.hashing import (
+        MERSENNE31,
+        perm_coeffs,
+    )
+
+    shingles = [f"shingle number {i} text" for i in range(200)]
+    h1s = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MERSENNE31
+        for s in shingles
+    ]
+    winners = set()
+    for i in range(64):
+        a, b = perm_coeffs(i)
+        vals = [(a * h + b) % MERSENNE31 for h in h1s]
+        winners.add(vals.index(min(vals)))
+    # 64 independent-ish permutations over 200 shingles: expect ~50+
+    # distinct winners; the degenerate family yields exactly 1
+    assert len(winners) > 20, f"only {len(winners)} distinct argmin shingles"
+
+
+def test_minhash_signature_twin_matches_pipeline(spark, docs):
+    """The expression-level minhash_signature (HOF) and the pipeline's
+    codegen'd min-aggregate must produce bit-identical signature values."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature,
+        release_caches,
+        word_shingles,
+    )
+
+    res = minhash_lsh_pairs(docs, shingle_mode="word", shingle_k=3)
+    sig_pipeline = res._attached_caches[1]
+    sig_hof = docs.select(
+        "doc_id",
+        minhash_signature(
+            F.array_distinct(word_shingles("text", 3)), 64
+        ).alias("sig"),
+    )
+    j = sig_pipeline.join(sig_hof, "doc_id")
+    checks = [
+        (F.col(f"__g{i}") == F.element_at("sig", i + 1)) for i in range(64)
+    ]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    assert j.filter(~cond).count() == 0
+    release_caches(res)

@@ -15,7 +15,11 @@ Records BENCH/dedup_scale.json + BENCH/DEDUP_SCALE.md:
   - bucket-size histograms of the EXACT self-join keys (minhash band
     buckets, simhash 15-bit chunk buckets) in log2 size classes, plus the
     largest bucket — the quantity that decides whether the candidate join
-    explodes at scale (a bucket of size B costs B^2 candidate rows).
+    explodes at scale (a bucket of size B costs B^2 candidate rows),
+  - a char-shingle "pathology" histogram at small size: this corpus's
+    64-word vocabulary makes char-5-grams collide across unrelated docs,
+    demonstrating the histogram catching a super-linear candidate join
+    BEFORE it runs (minhash itself defaults to word shingles here).
 
 Usage: python tools/dedup_scale_bench.py [--rows 50000] [--cpus 32]
 """
@@ -107,6 +111,37 @@ def main():
     ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     )
+    ap.add_argument(
+        "--shingle-mode",
+        default="word",
+        choices=["word", "char"],
+        help="shingle mode for the minhash run. This synthetic corpus draws "
+        "from a 64-word vocabulary, so char-5-grams span a tiny universe and "
+        "UNRELATED docs share most of it (baseline Jaccard ~0.2-0.3) — band "
+        "buckets then grow with corpus size and the candidate join explodes "
+        "(the exact failure mode the histograms exist to catch; see the "
+        "pathology section of the report). Word shingles distinguish the "
+        "constructed one-word-substituted near-dups correctly.",
+    )
+    ap.add_argument("--shingle-k", type=int, default=3)
+    ap.add_argument(
+        "--char-pathology-rows",
+        type=int,
+        default=5_000,
+        help="also run char-mode minhash at this small size and record its "
+        "bucket histogram as the worked example of the skew diagnostic "
+        "firing (0 disables)",
+    )
+    ap.add_argument(
+        "--growth-rows",
+        type=int,
+        default=0,
+        help="also compute the band/chunk bucket histograms (signature "
+        "stage only — no candidate join) at this SECOND corpus size and "
+        "record max-bucket growth factors vs --rows: the direct evidence "
+        "for how each blocking scheme's candidate join scales (0 disables; "
+        "use ~4x --rows)",
+    )
     args = ap.parse_args()
 
     import sys
@@ -126,10 +161,17 @@ def main():
     docs = synth_documents(spark, args.rows).persist()
     n = docs.count()  # materialize the corpus outside the timed windows
 
-    result = {"rows": n, "cpus": args.cpus}
+    result = {
+        "rows": n,
+        "cpus": args.cpus,
+        "shingle_mode": args.shingle_mode,
+        "shingle_k": args.shingle_k,
+    }
 
     t0 = time.perf_counter()
-    mh = minhash_lsh_pairs(docs)
+    mh = minhash_lsh_pairs(
+        docs, shingle_mode=args.shingle_mode, shingle_k=args.shingle_k
+    )
     mh_pairs = mh.count()
     mh_dt = round(time.perf_counter() - t0, 3)
     sig = mh._attached_caches[1]
@@ -158,6 +200,62 @@ def main():
     }
     release_caches(sh)
 
+    # The worked example of the diagnostic FIRING: char-k-grams over this
+    # corpus's 64-word vocabulary span a tiny shingle universe, so unrelated
+    # docs share most shingles and band buckets grow with the corpus — the
+    # exact super-linear candidate-join failure the histogram exists to
+    # catch before a 100-TB run does. Recorded at a deliberately small size
+    # (the signature stage alone is cheap; only the candidate join is not,
+    # and we never run it here — keys only).
+    if args.growth_rows:
+        # bucket growth from --rows to --growth-rows, signature stages only:
+        # how does the largest bucket scale with corpus size? Minhash band
+        # keys collide only under genuine similarity (expected ~constant /
+        # duplicate-cluster-bound buckets); simhash 15-bit chunk buckets
+        # are pigeonhole slices, so they grow LINEARLY and the chunk join
+        # is O(n²/2^15·4) — fine at this scale, but at 10^9+ docs the
+        # blocking needs more/finer chunks. Record it rather than assert it.
+        gdocs = synth_documents(spark, args.growth_rows).persist()
+        gdocs.count()
+        gmh = minhash_lsh_pairs(
+            gdocs, shingle_mode=args.shingle_mode, shingle_k=args.shingle_k
+        )
+        gsig = gmh._attached_caches[1]
+        g_band = bucket_histogram(minhash_band_keys(gsig), ["band", "bh"])
+        release_caches(gmh)
+        gsh = simhash_near_dups(gdocs)
+        gsig_sh = gsh._attached_caches[0]
+        g_chunk = bucket_histogram(simhash_chunk_keys(gsig_sh), ["ci", "cv"])
+        release_caches(gsh)
+        gdocs.unpersist()
+        base_band = result["minhash"]["band_buckets"]["max_bucket"]
+        base_chunk = result["simhash"]["chunk_buckets"]["max_bucket"]
+        result["bucket_growth"] = {
+            "rows": args.growth_rows,
+            "corpus_ratio": round(args.growth_rows / n, 2),
+            "minhash_band_buckets": g_band,
+            "simhash_chunk_buckets": g_chunk,
+            "max_band_bucket_growth": round(g_band["max_bucket"] / base_band, 2),
+            "max_chunk_bucket_growth": round(
+                g_chunk["max_bucket"] / base_chunk, 2
+            ),
+        }
+
+    if args.char_pathology_rows:
+        pn = args.char_pathology_rows
+        pdocs = synth_documents(spark, pn).persist()
+        pdocs.count()
+        pmh = minhash_lsh_pairs(pdocs, shingle_mode="char", shingle_k=5)
+        psig = pmh._attached_caches[1]
+        result["char_pathology"] = {
+            "rows": pn,
+            "band_buckets": bucket_histogram(
+                minhash_band_keys(psig), ["band", "bh"]
+            ),
+        }
+        release_caches(pmh)
+        pdocs.unpersist()
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "dedup_scale.json"), "w") as f:
         json.dump(result, f, indent=1)
@@ -167,8 +265,12 @@ def main():
         "# BENCH/DEDUP_SCALE.md — near-dup dedup at large SF",
         "",
         f"Corpus: {n:,} deterministic synthetic documents "
-        "(~10x the sf0.1 documents table; ~7% near-duplicates by "
-        "construction), local[%d]." % args.cpus,
+        "(~7% near-duplicates by construction: one word substituted in a "
+        f"re-derived earlier doc), local[{args.cpus}]. Minhash runs on "
+        f"{args.shingle_mode}-{args.shingle_k} shingles — this corpus draws "
+        "from a 64-word vocabulary, so word shingles span a large universe "
+        "(unrelated docs share ~nothing) while char shingles would not "
+        "(see the pathology section).",
         "",
         "| op | wall s | docs/s | pairs |",
         "|---|---|---|---|",
@@ -198,8 +300,70 @@ def main():
         "15-bit signature slices; a pathological hot bucket (e.g. empty",
         "docs) would surface here first. AQE skew-join splitting handles",
         "residual imbalance at cluster scale.",
+    ]
+    if "bucket_growth" in result:
+        g = result["bucket_growth"]
+        gb, gc = g["minhash_band_buckets"], g["simhash_chunk_buckets"]
+        lines += [
+            "",
+            "## Bucket growth with corpus size (signature stages only)",
+            "",
+            f"Same histograms at {g['rows']:,} docs ({g['corpus_ratio']}x "
+            "the corpus):",
+            "",
+            f"- minhash band buckets: largest = {gb['max_bucket']} "
+            f"(**{g['max_band_bucket_growth']}x** at {g['corpus_ratio']}x "
+            f"corpus), {gb['n_buckets']:,} buckets, histogram "
+            f"{gb['log2_size_class_counts']}",
+            f"- simhash chunk buckets: largest = {gc['max_bucket']:,} "
+            f"(**{g['max_chunk_bucket_growth']}x** at {g['corpus_ratio']}x "
+            f"corpus), {gc['n_buckets']:,} buckets, histogram "
+            f"{gc['log2_size_class_counts']}",
+            "",
+            "Band buckets collide only under genuine similarity, so the",
+            "largest stays duplicate-cluster-bound (sub-linear growth → the",
+            "band join scales ~linearly in corpus size). Chunk buckets are",
+            "15-bit pigeonhole slices: the largest grows ~linearly with the",
+            "corpus, i.e. the chunk join is O(n²/2^15·4) — measured here,",
+            "not assumed — which is fine at this scale and means the",
+            "blocking wants finer chunks (more, smaller slices or a second",
+            "blocking level) beyond ~10^8 docs.",
+            "",
+            "Caveat on simhash's absolute numbers here: simhash votes on",
+            "WORD hashes, and every doc in this corpus contains most of the",
+            "64-word vocabulary, so signatures cluster tightly and the",
+            "hamming≤3 pair count inflates super-linearly — a feature-",
+            "granularity artifact of the synthetic corpus (real corpora",
+            "have heavy-tailed vocabularies), the same family of config",
+            "mismatch as the char-shingle pathology below. Weighted or",
+            "shingle-level features are the fix on vocab-limited corpora.",
+        ]
+    if "char_pathology" in result:
+        cp = result["char_pathology"]["band_buckets"]
+        cpn = result["char_pathology"]["rows"]
+        lines += [
+            "",
+            "## Worked example: the diagnostic catching a bad config",
+            "",
+            f"Char-5 shingles over this 64-word-vocabulary corpus at only",
+            f"{cpn:,} docs: the shingle universe is so small that unrelated",
+            "docs collide in the same band buckets —",
+            "",
+            f"- largest band bucket = {cp['max_bucket']:,} of {cpn:,} docs"
+            f" ({cp['n_buckets']:,} buckets, histogram"
+            f" {cp['log2_size_class_counts']}).",
+            "",
+            "A bucket holding a constant FRACTION of the corpus means the",
+            "candidate join is O(n²) — at 100 TB that run must be stopped",
+            "before the join, which is exactly what this histogram (computed",
+            "from the signature stage alone, cheap) is for. The word-shingle",
+            "histogram above is what a healthy configuration looks like on",
+            "the same corpus.",
+        ]
+    lines += [
         "",
-        f"Rerun: `python tools/dedup_scale_bench.py --rows {args.rows}`.",
+        f"Rerun: `python tools/dedup_scale_bench.py --rows {args.rows}"
+        f" --shingle-mode {args.shingle_mode} --shingle-k {args.shingle_k}`.",
         "",
     ]
     with open(os.path.join(REPO, "BENCH", "DEDUP_SCALE.md"), "w") as f:

@@ -363,12 +363,16 @@ def main():
     eff_rollup = (
         r4N["rollup_points_per_sec"] / rN["rollup_points_per_sec"]
     ) / 4
-    # prepare rates are null when the stage was resumed (rollup-phase mode)
-    eff_prepare = (
-        (r4N["prepare_points_per_sec"] / rN["prepare_points_per_sec"]) / 4
-        if rN.get("prepare_points_per_sec") and r4N.get("prepare_points_per_sec")
-        else None
+    # prepare rates are null when the stage was resumed (rollup-phase mode).
+    # The headline prepare efficiency is the MEDIAN of the per-rep prepare
+    # efficiencies (the rep chosen above is the rollup-eff median, which
+    # may be a prepare outlier).
+    _prep_effs = sorted(
+        (p4["prepare_points_per_sec"] / pN["prepare_points_per_sec"]) / 4
+        for pN, p4 in pairs
+        if pN.get("prepare_points_per_sec") and p4.get("prepare_points_per_sec")
     )
+    eff_prepare = _prep_effs[len(_prep_effs) // 2] if _prep_effs else None
     tier_eff = {
         t: round(
             (r4N["tiers"][t]["points_per_sec"] / rN["tiers"][t]["points_per_sec"])
@@ -378,9 +382,15 @@ def main():
         for t in rN["tiers"]
     }
     cpu_n, cpu_4n = rN.get("rollup_cpu_seconds"), r4N.get("rollup_cpu_seconds")
+    per_rep_prepare = [
+        round((p4["prepare_points_per_sec"] / pN["prepare_points_per_sec"]) / 4, 3)
+        for pN, p4 in pairs
+        if pN.get("prepare_points_per_sec") and p4.get("prepare_points_per_sec")
+    ]
     summary = {
         "rows": rN["input_rows"],
         "n_cores": args.n,
+        "phase": args.phase,
         "rollup_throughput_N": rN["rollup_points_per_sec"],
         "rollup_throughput_4N": r4N["rollup_points_per_sec"],
         "efficiency_rollup": round(eff_rollup, 3),
@@ -398,6 +408,9 @@ def main():
             if args.phase == "full" and eff_prepare is not None
             else None
         ),
+        "per_rep_prepare_efficiencies": (
+            per_rep_prepare if args.phase == "full" else None
+        ),
         "throughput_N": rN["points_per_sec"],
         "throughput_4N": r4N["points_per_sec"],
         "efficiency_total": round(eff_total, 3),
@@ -407,14 +420,36 @@ def main():
         "tiers_4N": r4N["tiers"],
     }
     write_report(summary, rN, r4N, args)
-    # mode-suffixed artifacts: the local-mode scaling.json is the headline
-    # evidence bench.py embeds; the standalone-cluster mode records its own
-    # file instead of clobbering it
-    name = (
-        "scaling.json" if args.cluster == "local" else "scaling_standalone.json"
-    )
+    # mode-suffixed artifacts: the local-mode ROLLUP-phase scaling.json is
+    # the headline evidence bench.py embeds (the north rule grades the
+    # rollup metric, measured with the tight rollup-phase pairing); a
+    # full-phase run records scaling_full.json and PATCHES only the
+    # prepare-efficiency fields into scaling.json, so the headline rollup
+    # numbers are never clobbered by the looser full-phase pairing; the
+    # standalone-cluster mode records its own file likewise
+    if args.cluster != "local":
+        name = "scaling_standalone.json"
+    elif args.phase == "full":
+        name = "scaling_full.json"
+    else:
+        name = "scaling.json"
     with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(summary, f)
+    headline = os.path.join(REPO, "BENCH", "scaling.json")
+    if name == "scaling_full.json" and os.path.exists(headline):
+        with open(headline) as f:
+            h = json.load(f)
+        h["efficiency_prepare"] = summary["efficiency_prepare"]
+        h["prepare_evidence"] = {
+            "source": "scaling_full.json (full-phase paired run)",
+            "rows": summary["rows"],
+            "reps": len(summary["per_rep_prepare_efficiencies"] or []),
+            "per_rep_prepare_efficiencies": summary[
+                "per_rep_prepare_efficiencies"
+            ],
+        }
+        with open(headline, "w") as f:
+            json.dump(h, f)
     print(json.dumps(summary))
 
 
@@ -425,9 +460,15 @@ def _fmt_rate(v):
 
 def write_report(summary, rN, r4N, args):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    report_name = (
-        "BASELINE.md" if args.cluster == "local" else "STANDALONE.md"
-    )
+    # BASELINE.md is the headline (local rollup-phase) report; full-phase
+    # and standalone runs get their own files (same no-clobber rule as the
+    # JSON artifacts)
+    if args.cluster != "local":
+        report_name = "STANDALONE.md"
+    elif args.phase == "full":
+        report_name = "FULLPHASE.md"
+    else:
+        report_name = "BASELINE.md"
     lines = [
         "# BENCH/BASELINE.md — scaling + throughput evidence",
         "",
