@@ -168,10 +168,26 @@ def main(argv: list[str] | None = None) -> dict:
     # happens post-aggregate on |buckets| rows, not |facts| rows.
     prepared_path = os.path.join(out, "prepared")
     t0 = time.perf_counter()
+    cpu_prep0 = _proc_tree_cpu_seconds()
     prepare_ran = not (
         args.resume and os.path.exists(os.path.join(prepared_path, "_SUCCESS"))
     )
     if prepare_ran:
+        # Prepare-shuffle sizing: the MA-unbias window is a full-width
+        # sort, and sort partitions must FIT IN TASK MEMORY — at the tier
+        # policy's cores×1 partitions (16 here), 121M rows meant 7.6M-row
+        # sorts that spill and external-merge (measured: +25-37% CPU at
+        # 4N, 2 ragged task waves, prepare N→4N efficiency 0.52-0.69).
+        # ~2M-row partitions eliminate the spill (measured: 8-core prepare
+        # wall -34%, CPU below even the 2-core baseline, efficiency 0.86).
+        # The tier aggregates below prefer cores×1 (map-side combine
+        # collapses them before the shuffle), so the session default is
+        # restored after the prepared write.
+        shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+        prep_parts = max(
+            spark.sparkContext.defaultParallelism, n_rows // 2_000_000
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(prep_parts)))
         # Row-group size: parquet scan parallelism is ROW-GROUP-bound — a
         # file with one row group is one indivisible task no matter what
         # maxPartitionBytes says. The unbiaser emits one ~file per
@@ -198,7 +214,18 @@ def main(argv: list[str] | None = None) -> dict:
         ).sortWithinPartitions("source", "tss").write.mode("overwrite").option(
             "parquet.block.size", str(rg_bytes)
         ).parquet(prepared_path)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     prepare_seconds = round(time.perf_counter() - t0, 3) if prepare_ran else None
+    cpu_prep1 = _proc_tree_cpu_seconds()
+    # CPU burned during prepare (scan→split→normalize→unbias→write),
+    # including the pandas-UDF python workers — the work-inflation metric
+    # for the prepare-stage scaling evidence, same role as
+    # rollup_cpu_seconds for the rollup phase
+    prepare_cpu_seconds = (
+        round(cpu_prep1 - cpu_prep0, 3)
+        if prepare_ran and cpu_prep0 is not None and cpu_prep1 is not None
+        else None
+    )
     # Scan-split policy for the rollup phase: size input splits to ~4 task
     # waves per core (SPARK_GRAFT_SCAN_WAVES to override). Spark's default
     # bytesPerCore sizing yields ~1 wave of large uneven tasks, and AQE
@@ -452,6 +479,7 @@ def main(argv: list[str] | None = None) -> dict:
         "prepare_points_per_sec": (
             round(n_rows / max(prepare_seconds, 1e-9)) if prepare_ran else None
         ),
+        "prepare_cpu_seconds": prepare_cpu_seconds,
         "rollup_points_per_sec": round(n_rows / max(rollup_seconds, 1e-9)),
         # CPU burned by the whole process tree during the rollup phase —
         # the supplementary work metric for the scaling evidence (equal

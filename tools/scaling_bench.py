@@ -411,6 +411,14 @@ def main():
         "per_rep_prepare_efficiencies": (
             per_rep_prepare if args.phase == "full" else None
         ),
+        # prepare-phase work inflation (same role as the rollup CPU ratio)
+        "prepare_cpu_seconds_N": rN.get("prepare_cpu_seconds"),
+        "prepare_cpu_seconds_4N": r4N.get("prepare_cpu_seconds"),
+        "prepare_cpu_work_ratio_4N_over_N": (
+            round(r4N["prepare_cpu_seconds"] / rN["prepare_cpu_seconds"], 3)
+            if rN.get("prepare_cpu_seconds") and r4N.get("prepare_cpu_seconds")
+            else None
+        ),
         "throughput_N": rN["points_per_sec"],
         "throughput_4N": r4N["points_per_sec"],
         "efficiency_total": round(eff_total, 3),
@@ -447,6 +455,9 @@ def main():
             "per_rep_prepare_efficiencies": summary[
                 "per_rep_prepare_efficiencies"
             ],
+            "prepare_cpu_work_ratio_4N_over_N": summary.get(
+                "prepare_cpu_work_ratio_4N_over_N"
+            ),
         }
         with open(headline, "w") as f:
             json.dump(h, f)
