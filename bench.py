@@ -117,6 +117,39 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # persisted-media multimodal shape (VERDICT r3 item 7b): the oracle
+    # query re-derives the synthetic media table per stage (documented
+    # oracle-only shape); production persists media ONCE partitioned by
+    # modality and runs decode→featurize→resize→frame-sample against the
+    # persisted table. Timed here so that shape has a number on record.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from preprocessor_spark.functions.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media_dir = _tf.mkdtemp(prefix="bench_media_")
+    try:
+        synth_media(spark, 2000).write.mode("overwrite").partitionBy(
+            "modality"
+        ).parquet(media_dir)
+        persisted = spark.read.parquet(media_dir)
+        t0 = time.perf_counter()
+        n_feats = extract_features(persisted, decode_backend="real").count()
+        resize_images(
+            persisted.filter("modality = 'image'"), max_side=256, backend="real"
+        ).count()
+        sample_frames(
+            persisted.filter("modality = 'video'"), every_ms=1000
+        ).count()
+        mm_persisted_seconds = round(time.perf_counter() - t0, 3)
+    finally:
+        _sh.rmtree(media_dir, ignore_errors=True)
+
     # primary metric: rolled-up points/sec per retention tier on the
     # synthetic pre-tokenized corpus (raw → 5m → 1h → 1d chain)
     corpus = token_sequences(spark, CORPUS_ROWS).cache()
@@ -186,6 +219,15 @@ def main() -> None:
             and timings.get("ema_unbias")
             else None
         ),
+        # persisted-media production shape: 2000 media rows persisted
+        # partitioned by modality, then real decode→featurize + real image
+        # resize + frame sampling against the persisted table
+        "multimodal_persisted": {
+            "rows": 2000,
+            "featurized": n_feats,
+            "seconds": mm_persisted_seconds,
+            "rows_per_sec": round(2000 / max(mm_persisted_seconds, 1e-9)),
+        },
         "rollup": {
             "corpus_rows": n_rows,
             "total_seconds": round(rollup_seconds, 3),

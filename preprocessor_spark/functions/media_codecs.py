@@ -157,3 +157,68 @@ def frame_offsets(data: bytes) -> list[int]:
         offsets.append(pos)
         pos += bmp_size(data, pos)
     return offsets
+
+
+# ------------------------------------------------ optional real-world formats
+# JPEG/PNG (via Pillow) and compressed audio (via soundfile) light up
+# automatically when the libraries are installed — the sandbox this engine
+# is developed in has neither, so the capability is probed at import time
+# and the extract_features 'auto' path simply falls through to the hash
+# featurizer on such payloads when the libs are absent (tests skip-if-absent).
+try:  # pragma: no cover - absent in the dev sandbox
+    import PIL.Image as _pil_image
+
+    HAVE_PIL = True
+except ImportError:
+    _pil_image = None
+    HAVE_PIL = False
+
+try:  # pragma: no cover - absent in the dev sandbox
+    import soundfile as _soundfile
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAVE_SOUNDFILE = False
+
+
+def decode_image_any(data: bytes) -> "np.ndarray":
+    """Decode an image payload to an HxWx3 uint8 RGB array: the in-house
+    BMP codec first, then Pillow for anything it can open (JPEG/PNG/...).
+    Raises ValueError when no available decoder accepts the payload — the
+    signal extract_features' 'auto' policy treats as 'not decodable here'
+    (a genuine decoder bug still raises its own exception type)."""
+    try:
+        return decode_bmp(data)
+    except (ValueError, struct.error):
+        pass
+    if HAVE_PIL:
+        import io as _io
+
+        try:
+            with _pil_image.open(_io.BytesIO(data)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception as exc:  # PIL raises many types for bad payloads
+            raise ValueError(f"undecodable image payload: {exc}") from exc
+    raise ValueError("not a BMP payload and no PIL available")
+
+
+def decode_audio_any(data: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode an audio payload to (sample_rate, int16 mono samples): the
+    in-house WAV codec first, then soundfile (FLAC/OGG/...). ValueError
+    when neither accepts it (same 'auto' contract as decode_image_any)."""
+    try:
+        return decode_wav(data)
+    except (ValueError, struct.error):
+        pass
+    if HAVE_SOUNDFILE:
+        import io as _io
+
+        try:
+            samples, rate = _soundfile.read(_io.BytesIO(data), dtype="int16")
+        except Exception as exc:
+            raise ValueError(f"undecodable audio payload: {exc}") from exc
+        if samples.ndim > 1:
+            samples = samples.mean(axis=1).astype(np.int16)
+        return int(rate), samples
+    raise ValueError("not a WAV payload and no soundfile available")

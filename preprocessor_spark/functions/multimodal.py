@@ -228,10 +228,14 @@ def _audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
 
 
 def _real_features(modality: str, payload: bytes) -> np.ndarray:
+    # *_any decoders: in-house codecs first (bit-identical behavior when no
+    # media libs are installed), then PIL/soundfile if present — real-world
+    # JPEG/PNG/FLAC corpora light up automatically (media_codecs.HAVE_PIL /
+    # HAVE_SOUNDFILE; tests skip-if-absent)
     if modality == "image":
-        return _image_features(mc.decode_bmp(payload))
+        return _image_features(mc.decode_image_any(payload))
     if modality == "audio":
-        rate, samples = mc.decode_wav(payload)
+        rate, samples = mc.decode_audio_any(payload)
         return _audio_features(rate, samples)
     if modality == "video":
         frames = mc.decode_frames(payload)

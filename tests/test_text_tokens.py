@@ -322,3 +322,36 @@ def test_multimodal_oracle_arithmetic(spark):
             assert round(f[2] * 255) == hx(7, 2)
             assert round(f[5] * 255) == 0  # constant image: zero std
     media.unpersist()
+
+
+def test_real_format_decoders_when_libs_present(spark):
+    """Optional-library seam: with Pillow installed, decode_image_any must
+    decode a real PNG/JPEG; with soundfile, decode_audio_any a FLAC. Skips
+    where the libraries are absent (this sandbox); the in-house-codec
+    fallback ordering is covered either way."""
+    import numpy as np
+    import pytest as pt
+
+    from preprocessor_spark.functions import media_codecs as mc
+
+    # in-house codecs always win first — byte-identical behavior
+    arr = np.zeros((4, 5, 3), dtype=np.uint8)
+    arr[1, 2] = (10, 200, 30)
+    assert (mc.decode_image_any(mc.encode_bmp(arr)) == arr).all()
+    rate, samples = mc.decode_audio_any(
+        mc.encode_wav(np.arange(-5, 5, dtype=np.int16), 8000)
+    )
+    assert rate == 8000 and samples.tolist() == list(range(-5, 5))
+    # undecodable payloads raise ValueError (the 'auto' fallback signal)
+    with pt.raises(ValueError):
+        mc.decode_image_any(b"\x89PNG....truncated" if not mc.HAVE_PIL else b"junk")
+    if not mc.HAVE_PIL:
+        pt.skip("Pillow not installed — real JPEG/PNG decode not testable here")
+    import io
+
+    import PIL.Image as Image
+
+    im = Image.fromarray(arr)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    assert (mc.decode_image_any(buf.getvalue()) == arr).all()
