@@ -445,8 +445,13 @@ def embedding_near_dups(
         cosine,
         cosine_inline,
         lsh_bucket,
+        validate_dim,
     )
 
+    if dim is not None:
+        # a mistyped dim is a SILENT data-quality failure (zero pairs /
+        # truncated cosines) — fail fast on one sampled row instead
+        validate_dim(df, emb_col, dim)
     base = df.select(id_col, emb_col).withColumn(
         "__bucket", lsh_bucket(emb_col, num_planes, seed, dim=dim)
     )

@@ -11,8 +11,7 @@ scheme needs only ONE digest per shingle/word (the 64 MinHash permutations
 come from double hashing, not 64 digests).
 
 Layout of the 128-bit md5 hex digest ``m``:
-  * ``h1`` = first 15 hex chars  → unsigned 60-bit integer (fits a long);
-  * ``h2`` = hex chars 17..31, masked to 31 bits (legacy; see below).
+  * ``h1`` = first 15 hex chars → unsigned 60-bit integer (fits a long).
 
 MinHash permutation family — per-permutation affine transforms over the
 single base digest:
@@ -42,9 +41,7 @@ import hashlib
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-MERSENNE61 = (1 << 61) - 1  # 2305843009213693951
 MERSENNE31 = (1 << 31) - 1  # 2147483647
-H2_MASK = 0x7FFFFFFF  # 31 bits (legacy double-hashing mask)
 
 
 def md5_h60(col: Column | str) -> Column:
@@ -55,42 +52,10 @@ def md5_h60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def md5_h31(col: Column | str) -> Column:
-    """31-bit secondary hash from md5 hex chars 17..31.
-
-    DuckDB equivalent:
-    ``('0x' || substr(md5(x), 17, 15))::BIGINT & 2147483647``.
-    """
-    return (
-        F.conv(F.substring(F.md5(col), 17, 15), 16, 10)
-        .cast("long")
-        .bitwiseAND(F.lit(H2_MASK))
-    )
-
-
 def digest_h60(m: Column) -> Column:
     """h1 from an already-computed md5 hex digest column — lets consumers
     that need BOTH h1 and h2 evaluate md5 once per row."""
     return F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-
-
-def digest_h31(m: Column) -> Column:
-    """h2s from an already-computed md5 hex digest column."""
-    return (
-        F.conv(F.substring(m, 17, 15), 16, 10)
-        .cast("long")
-        .bitwiseAND(F.lit(H2_MASK))
-    )
-
-
-def perm_hash(h1: Column, h2s: Column, i: int) -> Column:
-    """i-th double-hashing permutation value (bounded, overflow-free).
-
-    LEGACY — kept only so historical signatures can be recomputed; do NOT
-    use for MinHash (see module docstring: the i·h2s perturbation is
-    negligible against h1's range, making all permutations pick the same
-    minimum)."""
-    return (h1 + F.lit(i) * h2s) % F.lit(MERSENNE61)
 
 
 def perm_coeffs(i: int, seed: int = 42) -> tuple[int, int]:

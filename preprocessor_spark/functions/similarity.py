@@ -50,18 +50,19 @@ def cosine(a: Column, b: Column) -> Column:
 # composing Column objects: each Column arithmetic op is a py4j round trip,
 # and 3 × 64-term trees measured 5+ seconds of pure driver-side chatter —
 # the string parse is ~4 ms. Operands may be passed as SQL strings (column
-# names or expressions); Column operands are stringified via their
-# underlying expression's .sql() with a Column-API fallback if that
-# internal accessor ever disappears.
+# names or expressions) to take the string path; Column operands are built
+# through the Column API (bit-identical, slower to construct).
 
 
 def _sql_operand(c: Column | str) -> str | None:
-    if isinstance(c, str):
-        return c
-    try:
-        return c._jc.expr().sql()
-    except Exception:
-        return None  # e.g. a Connect Column — caller falls back to Column API
+    # Only plain strings take the inline-SQL fast path. Stringifying a
+    # Column via the private _jc.expr().sql() can produce SQL that
+    # re-parses fine but RESOLVES against a different scope (a Column
+    # carrying an alias/qualifier from another DataFrame) — a wrong-column
+    # binding, not an exception, so no fallback would catch it. Column
+    # operands always go through the Column-API builder instead: same
+    # arithmetic, bit-identical result, just py4j build cost ∝ dim.
+    return c if isinstance(c, str) else None
 
 
 def _dot_inline_cols(a: Column, b: Column, dim: int) -> Column:
@@ -150,6 +151,27 @@ def py_lsh_bucket(query: list[float], num_planes: int, seed: int) -> int:
 
 def cosine_inline(a: Column | str, b: Column | str, dim: int) -> Column:
     return dot_inline(a, b, dim) / (norm_inline(a, dim) * norm_inline(b, dim))
+
+
+def validate_dim(df: DataFrame, emb_col: str, dim: int) -> None:
+    """Fail fast when a caller-declared embedding dimension disagrees with
+    the data. The unrolled codegen paths index ``element_at(emb, 1..dim)``,
+    and under non-ANSI Spark an out-of-range index returns NULL — a
+    too-large ``dim`` NULL-poisons every cosine (near-dup joins silently
+    return ZERO pairs) and a too-small one silently truncates the dot
+    product. One LIMIT-1 scan of a sampled row is negligible next to the
+    join it guards; a whole-corpus assert would pay per-row cost forever."""
+    row = (
+        df.select(F.size(F.col(emb_col)).alias("__n"))
+        .where(F.col(emb_col).isNotNull())
+        .first()
+    )
+    if row is not None and row["__n"] != dim:
+        raise ValueError(
+            f"dim={dim} does not match {emb_col!r} arrays of length "
+            f"{row['__n']}: element_at past the end would return NULL "
+            "(poisoning every cosine) and a short dim silently truncates"
+        )
 
 
 def brute_force_topk(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import tempfile
 from dataclasses import asdict, dataclass, field
@@ -156,14 +157,20 @@ def load_params_dual(
         raise IOError("means and stds cover different feature sets")
     if _dual_checksum(means, stds) != m_meta["checksum"]:
         raise IOError("loaded parameters failed integrity verification")
-    # the reference's parameter validation rejects non-positive stds
-    # (NormalizationParameters raises at construction) — without this, a
+    # the reference's parameter validation rejects non-positive AND
+    # non-finite stds (normalization_handler.py:173) — without this, a
     # hand-authored zero std plus the loaded epsilon of 0.0 would yield
-    # division-by-zero/inf in the subsequent zscore transform
-    bad = sorted(c for c, s in stds.items() if not (float(s) > 0.0))
+    # division-by-zero/inf, and an inf std would silently zero the
+    # zscore output instead of failing at load
+    bad = sorted(
+        c
+        for c, s in stds.items()
+        if not (math.isfinite(float(s)) and float(s) > 0.0)
+    )
     if bad:
         raise ValueError(
-            f"non-positive std for feature(s) {bad}: stds must be > 0"
+            f"non-positive or non-finite std for feature(s) {bad}: "
+            "stds must be finite and > 0"
         )
     cols = sorted(means)
     return StageParams(

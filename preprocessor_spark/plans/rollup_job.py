@@ -202,19 +202,26 @@ def main(argv: list[str] | None = None) -> dict:
         # already yields many groups per file; this floor only matters
         # when files are small relative to the default.
         rg_bytes = int(os.environ.get("SPARK_GRAFT_PREPARE_RG_BYTES", 4 << 20))
-        unb.transform(normed).select(
-            # long, not int: int32 epochs silently wrap negative at/after
-            # 2038-01-19 in non-ANSI mode, corrupting bucket keys (the epoch
-            # floor also assumes non-negative epochs). On a sorted column the
-            # parquet dictionary/delta encodings make the width difference
-            # negligible.
-            F.unix_timestamp("ts").cast("long").alias("tss"),
-            "source",
-            "n_tok_z",
-        ).sortWithinPartitions("source", "tss").write.mode("overwrite").option(
-            "parquet.block.size", str(rg_bytes)
-        ).parquet(prepared_path)
-        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        try:
+            unb.transform(normed).select(
+                # long, not int: int32 epochs silently wrap negative at/after
+                # 2038-01-19 in non-ANSI mode, corrupting bucket keys (the
+                # epoch floor also assumes non-negative epochs). On a sorted
+                # column the parquet dictionary/delta encodings make the
+                # width difference negligible.
+                F.unix_timestamp("ts").cast("long").alias("tss"),
+                "source",
+                "n_tok_z",
+            ).sortWithinPartitions(
+                "source", "tss"
+            ).write.mode("overwrite").option(
+                "parquet.block.size", str(rg_bytes)
+            ).parquet(prepared_path)
+        finally:
+            # restore even when the write raises: in-process callers (tests,
+            # notebook use) share the session, and leaking the inflated
+            # prepare sizing would mis-shuffle every later tier aggregate
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     prepare_seconds = round(time.perf_counter() - t0, 3) if prepare_ran else None
     cpu_prep1 = _proc_tree_cpu_seconds()
     # CPU burned during prepare (scan→split→normalize→unbias→write),

@@ -143,3 +143,25 @@ def test_minhash_signature_twin_matches_pipeline(spark, docs):
         cond = cond & c
     assert j.filter(~cond).count() == 0
     release_caches(res)
+
+
+def test_embedding_near_dups_validates_dim(spark):
+    """A mistyped dim must fail fast, not silently return zero pairs:
+    under non-ANSI Spark, element_at past the array end returns NULL,
+    NULL-poisoning every cosine (round-4 ADVICE, dedup.py dim param)."""
+    import pytest as pt
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pt.raises(ValueError, match="does not match"):
+        embedding_near_dups(df, threshold=0.99, num_planes=4, dim=8)
+    with pt.raises(ValueError, match="does not match"):
+        embedding_near_dups(df, threshold=0.99, num_planes=4, dim=3)
+    # the correct dim still works and finds the pair on the codegen path
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            df, threshold=0.99, num_planes=4, dim=4
+        ).collect()
+    }
+    assert got == {(1, 2)}

@@ -184,5 +184,34 @@ def test_params_dual_rejects_nonpositive_std(tmp_path):
     js.dump(
         {"metadata": meta, "stds": stds}, open(tmp_path / "stds.json", "w")
     )
-    with pt.raises(ValueError, match="non-positive std"):
+    with pt.raises(ValueError, match="non-positive or non-finite std"):
+        load_params_dual(str(tmp_path))
+
+
+def test_params_dual_rejects_infinite_std(tmp_path):
+    """Reference parity (normalization_handler.py:173): non-FINITE stds
+    are rejected too — a hand-authored inf std would otherwise silently
+    zero every zscore output instead of failing at load."""
+    import json as js
+
+    import pytest as pt
+
+    from preprocessor_spark.params import _dual_checksum, load_params_dual
+
+    means = {"a": 1.0}
+    stds = {"a": float("inf")}
+    meta = {
+        "computation_timestamp": "2026-01-01T00:00:00",
+        "source_datasets": ["d1"],
+        "feature_count": 1,
+        "sample_count": 10,
+        "checksum": _dual_checksum(means, stds),
+    }
+    js.dump(
+        {"metadata": meta, "means": means}, open(tmp_path / "means.json", "w")
+    )
+    js.dump(
+        {"metadata": meta, "stds": stds}, open(tmp_path / "stds.json", "w")
+    )
+    with pt.raises(ValueError, match="non-positive or non-finite std"):
         load_params_dual(str(tmp_path))
