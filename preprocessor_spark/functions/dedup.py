@@ -357,16 +357,20 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash: block on 4×15-bit chunks (any
-    pair within hamming ≤ 3 of 60 bits shares ≥ one identical 15-bit chunk
-    by pigeonhole), verify hamming on candidates. Fully SQL-mirrorable.
+    """Candidate near-dup pairs by SimHash: combinatorial pigeonhole
+    blocking (slice the 60-bit signature into s slices, block on every
+    (s−max_hamming)-subset of slices — see :func:`simhash_block_keys`),
+    verify hamming on candidates. Blocking is LOSSLESS: ≤ max_hamming
+    flipped bits dirty ≤ max_hamming slices, so some clean subset always
+    collides; the result is exactly all pairs with hamming ≤ max_hamming.
+    Fully SQL-mirrorable.
 
-    The signature table is persisted: it feeds BOTH sides of the chunk
+    The signature table is persisted: it feeds BOTH sides of the block
     self-join, and recomputing the 60-aggregate bit-vote plan twice doubles
     the dominant cost. Caching contract as in :func:`minhash_lsh_pairs` —
     consumers call :func:`release_caches` after materializing."""
     sh = simhash(df, text_col, id_col).persist()
-    chunks = simhash_chunk_keys(sh, id_col)
+    chunks = simhash_block_keys(sh, id_col, max_hamming)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -396,10 +400,89 @@ def simhash_near_dups(
     return _attach_caches(out, (sh,))
 
 
+def simhash_blocking_plan(
+    max_hamming: int, max_keys: int = 24
+) -> tuple[int, list[tuple[int, ...]]]:
+    """Choose the combinatorial pigeonhole blocking for a 60-bit SimHash:
+    slice into ``s`` slices (s | 60, s > max_hamming) and key on every
+    ``c = s − max_hamming``-subset of slices. Any pair within
+    ``max_hamming`` differs in ≤ max_hamming slices, so ≥ c slices are
+    clean and SOME c-subset matches exactly — lossless by pigeonhole
+    (Manku et al., "Detecting near-duplicates for web crawling", WWW'07:
+    the permute-and-block table scheme, expressed as subset keys).
+
+    Wider keys are the scale lever: the round-4 dedup scale bench MEASURED
+    the single-slice scheme's largest bucket growing ~linearly with corpus
+    (15-bit keys ⇒ O(n²/2¹⁵) candidate pairs — fine to ~10⁷ docs, a wall
+    at 10⁸+). Among plans whose key count fits ``max_keys``, pick the
+    widest key (slice_bits × c); e.g. max_hamming=3 → 6 slices, C(6,3)=20
+    keys of 30 bits — ~2¹⁵× fewer expected random collisions for 5× the
+    blocking rows. Returns (slices, subset list)."""
+    from itertools import combinations
+    from math import comb
+
+    divisors = (1, 2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60)
+    best = None
+    for s in divisors:
+        if s <= max_hamming:
+            continue
+        c = s - max_hamming
+        if comb(s, c) > max_keys:
+            continue
+        bits = (60 // s) * c
+        rank = (bits, -comb(s, c))
+        if best is None or rank > best[0]:
+            best = (rank, s, c)
+    if best is None:
+        # every subset scheme blows the key budget (large max_hamming):
+        # fall back to single-slice pigeonhole (c=1), always ≤ 60 keys
+        s = next(d for d in divisors if d > max_hamming)
+        return s, [(i,) for i in range(s)]
+    _, s, c = best
+    return s, list(combinations(range(s), c))
+
+
+def simhash_block_keys(
+    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Blocking keys of a simhash table — one row per (doc, slice-subset):
+    ``ci`` = subset index, ``cv`` = the subset's slice values packed into
+    one long (each slice is 60/s bits; c·(60/s) ≤ 59 bits, so the packed
+    key always fits a signed 64-bit integer). Factored out of
+    :func:`simhash_near_dups` so bucket-size diagnostics derive from the
+    exact self-join keys."""
+    s, subsets = simhash_blocking_plan(max_hamming)
+    slice_bits = 60 // s
+    mask = (1 << slice_bits) - 1
+
+    def packed(subset: tuple[int, ...]):
+        out = F.lit(0).cast("long")
+        for j, b in enumerate(subset):
+            out = out + F.shiftleft(
+                F.shiftright("simhash", slice_bits * b).bitwiseAND(F.lit(mask)),
+                slice_bits * j,
+            )
+        return out
+
+    return sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"), packed(sub).alias("cv")
+                    )
+                    for i, sub in enumerate(subsets)
+                ]
+            )
+        ).alias("__c"),
+    ).select(id_col, "simhash", "__c.ci", "__c.cv")
+
+
 def simhash_chunk_keys(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Pigeonhole blocking keys of a simhash table — one row per
-    (doc, 15-bit chunk). Factored out of :func:`simhash_near_dups` so
-    bucket-size diagnostics derive from the exact self-join keys."""
+    """Single-slice 4×15-bit blocking keys (the max_hamming=3 legacy shape,
+    kept for diagnostics that compare blocking schemes)."""
     return sh.select(
         id_col,
         "simhash",
@@ -420,6 +503,49 @@ def simhash_chunk_keys(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ------------------------------------------------- embedding cosine near-dup
+def embedding_bucket_keys(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Hyperplane-LSH blocking keys — one row per (vector, table):
+    ``ti`` = table index, ``bv`` = that table's num_planes-bit signature.
+    Each table draws an independent md5-derived plane set (table index is
+    folded into the plane seed), so a near-dup pair missed by one table's
+    signature collides in another. Factored out of
+    :func:`embedding_near_dups` so bucket-size diagnostics derive from the
+    exact self-join keys."""
+    from preprocessor_spark.functions.similarity import lsh_bucket
+
+    return df.select(
+        id_col,
+        emb_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("ti"),
+                        lsh_bucket(
+                            emb_col,
+                            num_planes,
+                            # distinct plane family per table; 1_000_003 is
+                            # just a collision-free seed spacing (the md5
+                            # key is 'plane:{seed}:{plane}:{dim_idx}')
+                            seed + 1_000_003 * t,
+                            dim=dim,
+                        ).alias("bv"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("__t"),
+    ).select(id_col, emb_col, "__t.ti", "__t.bv")
+
+
 def embedding_near_dups(
     df: DataFrame,
     emb_col: str = "embedding",
@@ -428,11 +554,23 @@ def embedding_near_dups(
     num_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Near-duplicate vectors: random-hyperplane LSH bucket join + exact
-    cosine verification. Hyperplanes are derived deterministically from
-    (seed, plane, dim) md5 hashes — no driver-side random state to
-    broadcast, and reproducible in plain SQL.
+    """Near-duplicate vectors: multi-table random-hyperplane LSH bucket
+    join + exact cosine verification. Hyperplanes are derived
+    deterministically from (table-folded seed, plane, dim) md5 hashes — no
+    driver-side random state to broadcast, and reproducible in plain SQL.
+
+    Recall is a measured design parameter, not an accident: a pair at
+    cosine θ agrees with one random hyperplane w.p. 1−θ/π, so ONE
+    p-plane table finds a 0.95-cosine pair w.p. (1−θ/π)^p ≈ 0.9^8 ≈ 0.43
+    — the single-table default silently drops over half the true pairs.
+    L independent tables lift recall to 1−(1−(1−θ/π)^p)^L ≈ 0.90 at the
+    (p=8, L=4) defaults, for 4× the blocking rows and re-verified (but
+    deduplicated) candidate overlap. At corpus scale, ``num_planes``
+    must grow with log2(n) to keep expected random-collision bucket size
+    n/2^p bounded; recall lost to wider signatures is bought back with
+    more tables (tools/dedup_scale_bench.py measures both axes).
 
     Pass ``dim`` (the embedding dimension — static for any one corpus) to
     run both the signature and the verification cosine on the unrolled
@@ -444,7 +582,6 @@ def embedding_near_dups(
     from preprocessor_spark.functions.similarity import (
         cosine,
         cosine_inline,
-        lsh_bucket,
         validate_dim,
     )
 
@@ -452,10 +589,10 @@ def embedding_near_dups(
         # a mistyped dim is a SILENT data-quality failure (zero pairs /
         # truncated cosines) — fail fast on one sampled row instead
         validate_dim(df, emb_col, dim)
-    base = df.select(id_col, emb_col).withColumn(
-        "__bucket", lsh_bucket(emb_col, num_planes, seed, dim=dim)
+    keys = embedding_bucket_keys(
+        df, emb_col, id_col, num_planes, seed, dim, num_tables
     )
-    l, r = base.alias("l"), base.alias("r")
+    l, r = keys.alias("l"), keys.alias("r")
     la, ra = F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")
     cos = (
         cosine_inline(f"l.{emb_col}", f"r.{emb_col}", dim)
@@ -465,7 +602,8 @@ def embedding_near_dups(
     cand = l.join(
         r,
         on=[
-            F.col("l.__bucket") == F.col("r.__bucket"),
+            F.col("l.ti") == F.col("r.ti"),
+            F.col("l.bv") == F.col("r.bv"),
             F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
         ],
     ).select(
@@ -473,4 +611,10 @@ def embedding_near_dups(
         F.col(f"r.{id_col}").alias("id_b"),
         cos.alias("cosine"),
     )
-    return cand.filter(F.col("cosine") >= threshold)
+    # verify BEFORE deduplicating (as in minhash/simhash): the cosine is a
+    # per-row codegen expression, so the dedup shuffle carries only
+    # surviving pairs; a pair colliding in several tables is recomputed,
+    # not shuffled twice
+    return cand.filter(F.col("cosine") >= threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )

@@ -202,6 +202,7 @@ def main(argv: list[str] | None = None) -> dict:
         # already yields many groups per file; this floor only matters
         # when files are small relative to the default.
         rg_bytes = int(os.environ.get("SPARK_GRAFT_PREPARE_RG_BYTES", 4 << 20))
+        spark.sparkContext.setJobDescription("prepare")
         try:
             unb.transform(normed).select(
                 # long, not int: int32 epochs silently wrap negative at/after
@@ -276,7 +277,7 @@ def main(argv: list[str] | None = None) -> dict:
     # floor); lineage row counts ride the write action as Observation
     # metrics. Fixed per-tier overhead is what caps the N→4N scaling
     # efficiency that the north rule grades.
-    def run_tier_tree(tree_out: str, tree_manifest) -> dict:
+    def run_tier_tree(tree_out: str, tree_manifest, label: str = "") -> dict:
         from preprocessor_spark.rollup.checkpoint import (
             ROWS_PER_WRITE_TASK,
             run_resumable_observed as _write,
@@ -285,6 +286,10 @@ def main(argv: list[str] | None = None) -> dict:
         from preprocessor_spark.rollup.tiers import ALGEBRAIC
 
         metrics = {}
+        # phase-tagged job descriptions: event-log probes (tools/
+        # stage_probe.py) and the Spark UI attribute every job to its tier
+        # phase, separating warm-up jobs from timed ones
+        spark.sparkContext.setJobDescription(f"{label}bounds")
         t0 = time.perf_counter()
         bounds_rows = [
             tuple(r)
@@ -321,6 +326,7 @@ def main(argv: list[str] | None = None) -> dict:
             num_partitions=spine_parts, series_schema=prepared, as_epoch=True,
         )
         filled = tree.base_aggregate_with_spine_epoch(prepared, step0, spine)
+        spark.sparkContext.setJobDescription(f"{label}tier0_{base.name}")
         _write(
             spark,
             filled,
@@ -397,6 +403,7 @@ def main(argv: list[str] | None = None) -> dict:
                 F.timestamp_seconds("bucket_epoch").alias("bucket_start"),
                 *ALGEBRAIC,
             )
+            spark.sparkContext.setJobDescription(f"{label}coarse")
             _write_tiers(
                 spark,
                 allc,
@@ -447,7 +454,11 @@ def main(argv: list[str] | None = None) -> dict:
             warm_out = os.path.join(out, "warmup_tiers")
             _sh.rmtree(warm_out, ignore_errors=True)
             os.makedirs(warm_out)
-            run_tier_tree(warm_out, Manifest(os.path.join(warm_out, "m.jsonl")))
+            run_tier_tree(
+                warm_out,
+                Manifest(os.path.join(warm_out, "m.jsonl")),
+                label="warm:",
+            )
             _sh.rmtree(warm_out, ignore_errors=True)
 
         cpu0 = _proc_tree_cpu_seconds()
@@ -460,6 +471,7 @@ def main(argv: list[str] | None = None) -> dict:
     )
 
     # -- compression of the finest tier -----------------------------------
+    spark.sparkContext.setJobDescription("compress")
     t0 = time.perf_counter()
     tier0 = spark.read.parquet(os.path.join(out, f"tier_{DEFAULT_TIERS[0].name}"))
     blocks = encode_tier_blocks(

@@ -165,3 +165,61 @@ def test_embedding_near_dups_validates_dim(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_simhash_blocking_plan_guarantee():
+    """The combinatorial blocking must be lossless by construction: with s
+    slices and (s−k)-subsets as keys, ≤k flipped bits dirty ≤k slices, so
+    some subset stays clean. Checked exhaustively over the plan's own
+    parameters for every supported max_hamming."""
+    from math import comb
+
+    from preprocessor_spark.functions.dedup import simhash_blocking_plan
+
+    for k in range(0, 21):
+        s, subsets = simhash_blocking_plan(k)
+        assert 60 % s == 0 and s > k
+        c = len(subsets[0])
+        assert all(len(sub) == c for sub in subsets)
+        # the guarantee needs ALL c-subsets (or the c=1 fallback's full
+        # slice cover): any k-dirty pattern must leave one subset clean
+        if c == 1:
+            assert len(subsets) == s
+        else:
+            assert c == s - k and len(subsets) == comb(s, c)
+
+
+def test_simhash_block_keys_collide_within_hamming(spark):
+    """Pairs of signatures within max_hamming must share ≥1 (ci, cv) block
+    key — the lossless-candidate-generation property the near-dup join
+    relies on. Signatures are adversarial: k flips spread across DISTINCT
+    slices (the worst case for pigeonhole)."""
+    import random
+
+    from preprocessor_spark.functions.dedup import (
+        simhash_block_keys,
+        simhash_blocking_plan,
+    )
+
+    k = 3
+    s, _subsets = simhash_blocking_plan(k)
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = rng.getrandbits(60)
+        # flip one bit in each of k distinct slices — dirties the maximum
+        # possible number of slices
+        slices = rng.sample(range(s), k)
+        flipped = base
+        for sl in slices:
+            flipped ^= 1 << (sl * (60 // s) + rng.randrange(60 // s))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, flipped))
+    sh = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    keys = simhash_block_keys(sh, "doc_id", k).collect()
+    by_doc = {}
+    for r in keys:
+        by_doc.setdefault(r["doc_id"], set()).add((r["ci"], r["cv"]))
+    for i in range(40):
+        a, b = by_doc[2 * i], by_doc[2 * i + 1]
+        assert a & b, f"pair {i} shares no block key: {sorted(a)} vs {sorted(b)}"

@@ -82,6 +82,32 @@ def synth_documents(spark, n_rows: int, seed: int = 42):
     )
 
 
+def synth_embeddings(spark, n_rows: int, dim: int = 16, seed: int = 42):
+    """Deterministic embeddings table: (vec_id, embedding double[dim]).
+    Same planted-duplicate scheme as :func:`synth_documents`: ~7% of rows
+    with vec_id >= 64 perturb the (re-derived, never joined) embedding of
+    vec_id − (h%63+1) by ~1% component noise — cosine ≥ ~0.999 planted
+    near-dups in an otherwise near-orthogonal uniform cloud."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_rows).withColumnRenamed("id", "_i")
+    h = lambda *cols: F.abs(F.xxhash64(F.lit(seed), *cols))  # noqa: E731
+    is_dup = (h(F.col("_i"), F.lit("dup")) % 14 == 0) & (F.col("_i") >= 64)
+    base = F.when(
+        is_dup, F.col("_i") - (h(F.col("_i"), F.lit("off")) % 63 + 1)
+    ).otherwise(F.col("_i"))
+
+    def comp(d):
+        v = (h(base, F.lit(f"e{d}")) % 2_000_001).cast("double") / 1e6 - 1.0
+        noise = (
+            (h(F.col("_i"), F.lit(f"n{d}")) % 2001).cast("double") / 1e3 - 1.0
+        ) * 0.02
+        return F.when(is_dup, v + noise).otherwise(v)
+
+    emb = F.array(*[comp(d) for d in range(dim)])
+    return df.select(F.col("_i").alias("vec_id"), emb.alias("embedding"))
+
+
 def bucket_histogram(keys, group_cols):
     """log2 size-class histogram of self-join bucket sizes + the max."""
     from pyspark.sql import functions as F
@@ -152,6 +178,7 @@ def main():
         minhash_band_keys,
         minhash_lsh_pairs,
         release_caches,
+        simhash_block_keys,
         simhash_chunk_keys,
         simhash_near_dups,
     )
@@ -194,11 +221,52 @@ def main():
         "seconds": sh_dt,
         "docs_per_sec": round(n / sh_dt),
         "candidate_pairs": sh_pairs,
+        # the operator's ACTUAL blocking (combinatorial subset keys)
+        "block_buckets": bucket_histogram(
+            simhash_block_keys(sig_sh), ["ci", "cv"]
+        ),
+        # the single-slice legacy scheme, kept for comparison: its largest
+        # bucket grows ~linearly with corpus (the round-4 measured wall)
         "chunk_buckets": bucket_histogram(
             simhash_chunk_keys(sig_sh), ["ci", "cv"]
         ),
     }
     release_caches(sh)
+
+    # ---- embedding near-dup: hyperplane-bucket histograms --------------
+    # The bucket count of p-plane SRP-LSH is 2^p PER TABLE, so at fixed p
+    # the expected random-collision bucket grows LINEARLY with the corpus
+    # (n/2^p) — measured below at p=8 vs p=16 to show that num_planes must
+    # scale with log2(n), with the recall lost to wider signatures bought
+    # back by more tables (embedding_near_dups num_tables).
+    from preprocessor_spark.functions.dedup import (
+        embedding_bucket_keys,
+        embedding_near_dups,
+    )
+
+    EMB_DIM = 16
+    emb = synth_embeddings(spark, args.rows, dim=EMB_DIM).persist()
+    emb.count()
+    t0 = time.perf_counter()
+    ed_pairs = embedding_near_dups(
+        emb, threshold=0.99, num_planes=16, dim=EMB_DIM, num_tables=4
+    ).count()
+    ed_dt = round(time.perf_counter() - t0, 3)
+    result["embedding"] = {
+        "seconds": ed_dt,
+        "docs_per_sec": round(n / ed_dt),
+        "verified_pairs": ed_pairs,
+        "dim": EMB_DIM,
+        "bucket_buckets_p8": bucket_histogram(
+            embedding_bucket_keys(emb, num_planes=8, dim=EMB_DIM),
+            ["ti", "bv"],
+        ),
+        "bucket_buckets_p16": bucket_histogram(
+            embedding_bucket_keys(emb, num_planes=16, dim=EMB_DIM),
+            ["ti", "bv"],
+        ),
+    }
+    emb.unpersist()
 
     # The worked example of the diagnostic FIRING: char-k-grams over this
     # corpus's 64-word vocabulary span a tiny shingle universe, so unrelated
@@ -225,19 +293,48 @@ def main():
         release_caches(gmh)
         gsh = simhash_near_dups(gdocs)
         gsig_sh = gsh._attached_caches[0]
+        g_block = bucket_histogram(simhash_block_keys(gsig_sh), ["ci", "cv"])
         g_chunk = bucket_histogram(simhash_chunk_keys(gsig_sh), ["ci", "cv"])
         release_caches(gsh)
         gdocs.unpersist()
+        gemb = synth_embeddings(spark, args.growth_rows, dim=EMB_DIM).persist()
+        gemb.count()
+        g_emb8 = bucket_histogram(
+            embedding_bucket_keys(gemb, num_planes=8, dim=EMB_DIM),
+            ["ti", "bv"],
+        )
+        g_emb16 = bucket_histogram(
+            embedding_bucket_keys(gemb, num_planes=16, dim=EMB_DIM),
+            ["ti", "bv"],
+        )
+        gemb.unpersist()
         base_band = result["minhash"]["band_buckets"]["max_bucket"]
+        base_block = result["simhash"]["block_buckets"]["max_bucket"]
         base_chunk = result["simhash"]["chunk_buckets"]["max_bucket"]
         result["bucket_growth"] = {
             "rows": args.growth_rows,
             "corpus_ratio": round(args.growth_rows / n, 2),
             "minhash_band_buckets": g_band,
+            "simhash_block_buckets": g_block,
             "simhash_chunk_buckets": g_chunk,
             "max_band_bucket_growth": round(g_band["max_bucket"] / base_band, 2),
+            "max_block_bucket_growth": round(
+                g_block["max_bucket"] / base_block, 2
+            ),
             "max_chunk_bucket_growth": round(
                 g_chunk["max_bucket"] / base_chunk, 2
+            ),
+            "embedding_buckets_p8": g_emb8,
+            "embedding_buckets_p16": g_emb16,
+            "max_emb_p8_bucket_growth": round(
+                g_emb8["max_bucket"]
+                / result["embedding"]["bucket_buckets_p8"]["max_bucket"],
+                2,
+            ),
+            "max_emb_p16_bucket_growth": round(
+                g_emb16["max_bucket"]
+                / result["embedding"]["bucket_buckets_p16"]["max_bucket"],
+                2,
             ),
         }
 
@@ -260,7 +357,11 @@ def main():
     with open(os.path.join(REPO, "BENCH", "dedup_scale.json"), "w") as f:
         json.dump(result, f, indent=1)
 
-    mb, sb = result["minhash"]["band_buckets"], result["simhash"]["chunk_buckets"]
+    mb = result["minhash"]["band_buckets"]
+    sb = result["simhash"]["block_buckets"]
+    sc = result["simhash"]["chunk_buckets"]
+    e8 = result["embedding"]["bucket_buckets_p8"]
+    e16 = result["embedding"]["bucket_buckets_p16"]
     lines = [
         "# BENCH/DEDUP_SCALE.md — near-dup dedup at large SF",
         "",
@@ -278,32 +379,51 @@ def main():
         f" {result['minhash']['seconds']} |"
         f" {result['minhash']['docs_per_sec']:,} |"
         f" {result['minhash']['verified_pairs']:,} |",
-        f"| simhash_near_dups (60-bit, hamming≤3) |"
+        f"| simhash_near_dups (60-bit, hamming≤3, C(6,3) 30-bit blocks) |"
         f" {result['simhash']['seconds']} |"
         f" {result['simhash']['docs_per_sec']:,} |"
         f" {result['simhash']['candidate_pairs']:,} |",
+        f"| embedding_near_dups (dim 16, p=16 planes × L=4 tables, cos≥0.99) |"
+        f" {result['embedding']['seconds']} |"
+        f" {result['embedding']['docs_per_sec']:,} |"
+        f" {result['embedding']['verified_pairs']:,} |",
         "",
         "## Self-join bucket-size distributions (skew evidence)",
         "",
         "A bucket of size B contributes ~B^2/2 candidate pairs to the",
-        "band/chunk self-join; the histograms below (log2 size classes →",
+        "blocking self-join; the histograms below (log2 size classes →",
         "bucket counts) show whether any bucket grows super-linearly with",
         "the corpus — the failure mode that would break the join at 100 TB.",
         "",
         f"- minhash band buckets: {mb['n_buckets']:,} buckets, largest ="
         f" {mb['max_bucket']}, histogram {mb['log2_size_class_counts']}",
-        f"- simhash chunk buckets: {sb['n_buckets']:,} buckets, largest ="
-        f" {sb['max_bucket']}, histogram {sb['log2_size_class_counts']}",
+        f"- simhash block buckets (C(6,3)×30-bit, the operator's keys):"
+        f" {sb['n_buckets']:,} buckets, largest = {sb['max_bucket']},"
+        f" histogram {sb['log2_size_class_counts']}",
+        f"- simhash legacy 4×15-bit chunk buckets (comparison):"
+        f" {sc['n_buckets']:,} buckets, largest = {sc['max_bucket']:,},"
+        f" histogram {sc['log2_size_class_counts']}",
+        f"- embedding hyperplane buckets p=8 (256/table):"
+        f" {e8['n_buckets']:,} buckets, largest = {e8['max_bucket']:,},"
+        f" histogram {e8['log2_size_class_counts']}",
+        f"- embedding hyperplane buckets p=16 (65,536/table):"
+        f" {e16['n_buckets']:,} buckets, largest = {e16['max_bucket']:,},"
+        f" histogram {e16['log2_size_class_counts']}",
         "",
-        "Buckets stay tiny because band keys concatenate 4 minhash values",
-        "(collision only under genuine similarity) and chunk keys are",
-        "15-bit signature slices; a pathological hot bucket (e.g. empty",
-        "docs) would surface here first. AQE skew-join splitting handles",
-        "residual imbalance at cluster scale.",
+        "Band keys concatenate 4 minhash values (collision only under",
+        "genuine similarity) and simhash block keys are 30-bit",
+        "slice-subsets, so both stay duplicate-cluster-bound; a",
+        "pathological hot bucket (e.g. empty docs) would surface here",
+        "first. Hyperplane buckets number only 2^p per table — p must",
+        "scale with log2(corpus) (recall bought back with more tables:",
+        "1−(1−(1−θ/π)^p)^L). AQE skew-join splitting handles residual",
+        "imbalance at cluster scale.",
     ]
     if "bucket_growth" in result:
         g = result["bucket_growth"]
         gb, gc = g["minhash_band_buckets"], g["simhash_chunk_buckets"]
+        gs = g["simhash_block_buckets"]
+        ge8, ge16 = g["embedding_buckets_p8"], g["embedding_buckets_p16"]
         lines += [
             "",
             "## Bucket growth with corpus size (signature stages only)",
@@ -315,19 +435,30 @@ def main():
             f"(**{g['max_band_bucket_growth']}x** at {g['corpus_ratio']}x "
             f"corpus), {gb['n_buckets']:,} buckets, histogram "
             f"{gb['log2_size_class_counts']}",
-            f"- simhash chunk buckets: largest = {gc['max_bucket']:,} "
+            f"- simhash block buckets (C(6,3)×30-bit, the operator's keys): "
+            f"largest = {gs['max_bucket']:,} "
+            f"(**{g['max_block_bucket_growth']}x** at {g['corpus_ratio']}x "
+            f"corpus), {gs['n_buckets']:,} buckets, histogram "
+            f"{gs['log2_size_class_counts']}",
+            f"- simhash legacy 4×15-bit chunk buckets: largest = "
+            f"{gc['max_bucket']:,} "
             f"(**{g['max_chunk_bucket_growth']}x** at {g['corpus_ratio']}x "
             f"corpus), {gc['n_buckets']:,} buckets, histogram "
             f"{gc['log2_size_class_counts']}",
+            f"- embedding buckets p=8: largest = {ge8['max_bucket']:,} "
+            f"(**{g['max_emb_p8_bucket_growth']}x**), p=16: largest = "
+            f"{ge16['max_bucket']:,} (**{g['max_emb_p16_bucket_growth']}x**)",
             "",
             "Band buckets collide only under genuine similarity, so the",
             "largest stays duplicate-cluster-bound (sub-linear growth → the",
-            "band join scales ~linearly in corpus size). Chunk buckets are",
-            "15-bit pigeonhole slices: the largest grows ~linearly with the",
-            "corpus, i.e. the chunk join is O(n²/2^15·4) — measured here,",
-            "not assumed — which is fine at this scale and means the",
-            "blocking wants finer chunks (more, smaller slices or a second",
-            "blocking level) beyond ~10^8 docs.",
+            "band join scales ~linearly in corpus size). The simhash",
+            "30-bit slice-subset blocks (the round-5 second blocking level)",
+            "replace the legacy 15-bit chunks whose largest bucket grew",
+            "~linearly (O(n²/2^15·4) candidates — re-measured above for",
+            "comparison); the subset keys push random collisions to",
+            "O(n²/2^30·20). Fixed-p hyperplane buckets grow linearly by",
+            "construction (n/2^p expected): at 10^8+ docs raise p with",
+            "log2(n) and recover recall with more tables.",
             "",
             "Caveat on simhash's absolute numbers here: simhash votes on",
             "WORD hashes, and every doc in this corpus contains most of the",

@@ -47,7 +47,14 @@ class StandaloneCluster:
     rule, with per-executor JVM isolation (own heap, own GC) instead of
     local-mode's shared-heap thread pool."""
 
-    def __init__(self, port: int, cpu_ids: list[int], workdir: str, mem="3g"):
+    def __init__(
+        self,
+        port: int,
+        cpu_ids: list[int],
+        workdir: str,
+        mem_per_core: int = 3,
+        exec_cores: int = 1,
+    ):
         self.port = port
         self.url = f"spark://127.0.0.1:{port}"
         self.procs: list[subprocess.Popen] = []
@@ -66,17 +73,30 @@ class StandaloneCluster:
         import time as _t
 
         _t.sleep(5)
-        for cpu in cpu_ids:
+        # one worker JVM per exec_cores-sized CPU group, each pinned to its
+        # own DISJOINT range. exec_cores=1 is the harshest shape (every
+        # JVM's GC/netty/daemon threads contend with its one task thread on
+        # one core — measured: task run−cpu gap 1.4 s/task in write
+        # stages); multi-core executors are the realistic cluster shape.
+        assert len(cpu_ids) % exec_cores == 0
+        groups = [
+            cpu_ids[i : i + exec_cores]
+            for i in range(0, len(cpu_ids), exec_cores)
+        ]
+        for grp in groups:
             env = dict(
                 os.environ,
-                SPARK_WORKER_DIR=os.path.join(workdir, f"worker_{port}_{cpu}"),
+                SPARK_WORKER_DIR=os.path.join(
+                    workdir, f"worker_{port}_{grp[0]}"
+                ),
             )
             self.procs.append(
                 subprocess.Popen(
                     [
-                        "taskset", "-c", str(cpu),
+                        "taskset", "-c", f"{grp[0]}-{grp[-1]}",
                         spark_class, "org.apache.spark.deploy.worker.Worker",
-                        self.url, "--cores", "1", "--memory", mem,
+                        self.url, "--cores", str(exec_cores),
+                        "--memory", f"{mem_per_core * exec_cores}g",
                         "--webui-port", "0", "--host", "127.0.0.1",
                     ],
                     stdout=log, stderr=log, env=env,
@@ -94,6 +114,22 @@ class StandaloneCluster:
                 p.kill()
 
 
+def _config_confs(extra_confs: list[str] | None, cpus: int) -> list[str]:
+    """Per-config view of the experiment confs. The event-log dir gets a
+    per-config suffix (created here): in standalone mode the two MASTERS
+    can mint the identical app id (app-<same second>-0000), and the second
+    driver dies creating the colliding event-log directory."""
+    out = []
+    for kv in extra_confs or []:
+        if kv.startswith("spark.eventLog.dir="):
+            k, v = kv.split("=", 1)
+            v = f"{v.rstrip('/')}/c{cpus}"
+            os.makedirs(v.removeprefix("file://"), exist_ok=True)
+            kv = f"{k}={v}"
+        out.append(kv)
+    return out
+
+
 def launch_job(
     pyfiles: str,
     input_path: str,
@@ -106,6 +142,7 @@ def launch_job(
     cluster_url: str | None = None,
     driver_cpus: str | None = None,
     extra_confs: list[str] | None = None,
+    exec_cores: int = 1,
 ) -> subprocess.Popen:
     """Launch the job in a fresh JVM via spark-submit at local[cpus].
 
@@ -156,8 +193,8 @@ def launch_job(
         "spark.ui.enabled=false",
         *(
             [
-                "--conf", "spark.executor.cores=1",
-                "--conf", "spark.executor.memory=3g",
+                "--conf", f"spark.executor.cores={exec_cores}",
+                "--conf", f"spark.executor.memory={3 * exec_cores}g",
                 "--conf", f"spark.cores.max={cpus}",
             ]
             if cluster_url
@@ -169,8 +206,9 @@ def launch_job(
             else []
         ),
         # experiment confs (--conf k=v on the bench command line) — applied
-        # identically to BOTH configs of every pair
-        *(c for kv in (extra_confs or []) for c in ("--conf", kv)),
+        # identically to BOTH configs of every pair (see _config_confs for
+        # the one per-config exception)
+        *(c for kv in _config_confs(extra_confs, cpus) for c in ("--conf", kv)),
         "--py-files",
         pyfiles,
         os.path.join(REPO, "preprocessor_spark", "plans", "rollup_job.py"),
@@ -256,6 +294,15 @@ def main():
         "configs of every pair) — for conf experiments",
     )
     ap.add_argument(
+        "--exec-cores",
+        type=int,
+        default=1,
+        help="(standalone) cores per worker/executor JVM — 1 reproduces "
+        "the harshest per-JVM-contention shape (every executor's "
+        "GC/netty/daemon threads share its single pinned core with the "
+        "task thread); >1 is the realistic cluster node shape",
+    )
+    ap.add_argument(
         "--len-cap",
         type=int,
         default=None,
@@ -310,7 +357,10 @@ def main():
         offset = 0
         for port, cpus in ((7077, args.n), (7078, 4 * args.n)):
             clusters[cpus] = StandaloneCluster(
-                port, list(range(offset, offset + cpus)), args.workdir
+                port,
+                list(range(offset, offset + cpus)),
+                args.workdir,
+                exec_cores=args.exec_cores,
             )
             offset += cpus
 
@@ -336,6 +386,7 @@ def main():
                     ),
                     driver_cpus=driver_cpus[cpus],
                     extra_confs=args.conf,
+                    exec_cores=args.exec_cores,
                 )
                 offset += cpus
             r = {cpus: collect_job(p, cpus) for cpus, p in procs.items()}
@@ -390,6 +441,7 @@ def main():
     summary = {
         "rows": rN["input_rows"],
         "n_cores": args.n,
+        "exec_cores": args.exec_cores if args.cluster == "standalone" else None,
         "phase": args.phase,
         "rollup_throughput_N": rN["rollup_points_per_sec"],
         "rollup_throughput_4N": r4N["rollup_points_per_sec"],
@@ -487,9 +539,13 @@ def write_report(summary, rN, r4N, args):
         "rollup_job.py` on the same deterministic synthetic corpus at two",
         *(
             [
-                f"cluster sizes — a standalone cluster of {args.n} single-core",
-                f"executor JVMs (N) vs one of {4*args.n} (4N), every worker",
-                "taskset-pinned to its own CPU, drivers on separate spare CPUs,",
+                f"cluster sizes — a standalone cluster of "
+                f"{args.n // args.exec_cores} × {args.exec_cores}-core",
+                f"executor JVMs (N = {args.n} cores) vs one of "
+                f"{4 * args.n // args.exec_cores} (4N = {4*args.n} cores), "
+                "every worker",
+                "taskset-pinned to its own disjoint CPU range, drivers on "
+                "separate spare CPUs,",
                 "both clusters run SIMULTANEOUSLY,",
             ]
             if args.cluster == "standalone"
