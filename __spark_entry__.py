@@ -514,6 +514,32 @@ def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table hyperplane-LSH near-dup pairs (functions/dedup.py:
+    embedding_near_dups, 4 tables × 8 planes, md5-derived hyperplanes) —
+    the SCALE path whose exact-O(n²) twin is `embedding_pairs`. The
+    operator's internal verify threshold is set a hair BELOW the graded
+    one (0.399 < 0.4) and the graded filter applies to the ROUNDED cosine
+    on both sides, so a boundary pair can't flip on sub-ulp
+    Spark-vs-DuckDB summation differences."""
+    from preprocessor_spark.functions.dedup import embedding_near_dups
+
+    e = _t(spark, sf, "embeddings")
+    pairs = embedding_near_dups(
+        e,
+        emb_col="embedding",
+        id_col="vec_id",
+        threshold=0.399,
+        num_planes=8,
+        seed=42,
+        dim=64,  # embeddings table dim (TESTDATA.md); static per corpus
+        num_tables=4,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.4)
+
+
 def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding count + mean L2 norm (array aggregate check)."""
     from preprocessor_spark.functions.similarity import norm
@@ -990,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings / similarity
         "similarity_topk": q_similarity_topk,
         "embedding_pairs": q_embedding_pairs,
+        "embedding_neardups": q_embedding_neardups,
         "embedding_norms": q_embedding_norms,
         # metadata / quality / diagnostics
         "null_completeness": q_null_completeness,
@@ -1154,6 +1181,47 @@ def _lsh_topk_oracle_sql() -> str:
         WHERE s.b = qb.b
         ORDER BY cosine DESC, v.vec_id
         LIMIT 10
+    """
+
+
+def _embedding_neardups_oracle_sql() -> str:
+    """DuckDB mirror of functions/dedup.py:embedding_near_dups (4 tables ×
+    8 planes, dim 64): table t's hyperplanes use seed 42 + 1000003·t, a
+    pair is a candidate when ANY table's 8-bit signature matches, verified
+    by exact cosine; graded filter on the ROUNDED cosine (see
+    q_embedding_neardups for the boundary rationale)."""
+    return """
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), planes AS (
+          SELECT t.t, p.p, d.d,
+                 ('0x' || substr(md5('plane:' || (42 + 1000003 * t.t) || ':'
+                                     || p.p || ':' || d.d), 1, 15))::BIGINT
+                   / 576460752303423488.0 - 1.0 AS w
+          FROM range(4) t(t) CROSS JOIN range(8) p(p) CROSS JOIN range(64) d(d)
+        ), dots AS (
+          SELECT v.vec_id, pl.t, pl.p, sum(v.e[pl.d + 1] * pl.w) AS dp
+          FROM vecs v CROSS JOIN planes pl
+          GROUP BY 1, 2, 3
+        ), sigs AS (
+          SELECT vec_id, t,
+                 CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                      AS BIGINT) AS b
+          FROM dots GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM sigs l
+          JOIN sigs r ON l.t = r.t AND l.b = r.b AND l.vec_id < r.vec_id
+        )
+        SELECT id_a, id_b, cos_sim FROM (
+          SELECT c.id_a, c.id_b,
+                 round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+          FROM cand c
+          JOIN vecs a ON a.vec_id = c.id_a
+          JOIN vecs b ON b.vec_id = c.id_b
+        ) WHERE cos_sim >= 0.4
     """
 
 
@@ -1870,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _mutual_info_oracle_sql(),
         "fft_peaks": _fft_peaks_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
+        "embedding_neardups": _embedding_neardups_oracle_sql(),
         # pure-arithmetic mirror of synth_media_sql's md5 parameter layout:
         # payload sizes from the BMP/WAV/frame-container byte formulas,
         # content levels from the constant fill/amplitude, resize boxes from

@@ -54,6 +54,7 @@ class StandaloneCluster:
         workdir: str,
         mem_per_core: int = 3,
         exec_cores: int = 1,
+        spare_ids: list[int] | None = None,
     ):
         self.port = port
         self.url = f"spark://127.0.0.1:{port}"
@@ -83,17 +84,32 @@ class StandaloneCluster:
             cpu_ids[i : i + exec_cores]
             for i in range(0, len(cpu_ids), exec_cores)
         ]
-        for grp in groups:
+        # service-spare shape: each worker JVM additionally gets ONE
+        # dedicated spare CPU for its non-task threads. The stage probe
+        # measured the 4N-side loss as OFF-CPU task time growing linearly
+        # with co-located JVM count (tier0 run−cpu: 9.2 s in-process →
+        # 13.8 s at 4 JVMs → 20.9 s at 8) while task CPU stayed flat —
+        # i.e. netty shuffle serving / GC / worker-daemon threads deschedule
+        # the task threads on fully-task-committed pinned cores. A real
+        # cluster node always has service headroom (OS/daemon cores are
+        # never handed to the task scheduler); the spare reproduces that
+        # per-node shape IDENTICALLY on both clusters. Spark still
+        # schedules exactly `exec_cores` task threads per worker.
+        assert spare_ids is None or len(spare_ids) == len(groups)
+        for gi, grp in enumerate(groups):
             env = dict(
                 os.environ,
                 SPARK_WORKER_DIR=os.path.join(
                     workdir, f"worker_{port}_{grp[0]}"
                 ),
             )
+            pin = f"{grp[0]}-{grp[-1]}"
+            if spare_ids is not None:
+                pin += f",{spare_ids[gi]}"
             self.procs.append(
                 subprocess.Popen(
                     [
-                        "taskset", "-c", f"{grp[0]}-{grp[-1]}",
+                        "taskset", "-c", pin,
                         spark_class, "org.apache.spark.deploy.worker.Worker",
                         self.url, "--cores", str(exec_cores),
                         "--memory", f"{mem_per_core * exec_cores}g",
@@ -303,6 +319,15 @@ def main():
         "task thread); >1 is the realistic cluster node shape",
     )
     ap.add_argument(
+        "--service-spare",
+        action="store_true",
+        help="(standalone) pin each worker JVM to its task cores PLUS one "
+        "dedicated spare CPU for non-task threads (netty shuffle server, "
+        "GC, worker daemon) — the per-node service headroom every real "
+        "cluster node has; identical per-worker shape on both clusters. "
+        "Spark still schedules exactly --exec-cores task threads/worker",
+    )
+    ap.add_argument(
         "--len-cap",
         type=int,
         default=None,
@@ -355,12 +380,21 @@ def main():
     driver_cpus = {args.n: "28-29", 4 * args.n: "30-31"}
     if args.cluster == "standalone":
         offset = 0
+        # spare CPUs (one per worker JVM) come from a high range disjoint
+        # from worker task cores (0..5n-1) and driver cores (28-31)
+        spare_next = 16
         for port, cpus in ((7077, args.n), (7078, 4 * args.n)):
+            spares = None
+            if args.service_spare:
+                n_workers = cpus // args.exec_cores
+                spares = list(range(spare_next, spare_next + n_workers))
+                spare_next += n_workers
             clusters[cpus] = StandaloneCluster(
                 port,
                 list(range(offset, offset + cpus)),
                 args.workdir,
                 exec_cores=args.exec_cores,
+                spare_ids=spares,
             )
             offset += cpus
 
@@ -442,6 +476,9 @@ def main():
         "rows": rN["input_rows"],
         "n_cores": args.n,
         "exec_cores": args.exec_cores if args.cluster == "standalone" else None,
+        "service_spare": (
+            args.service_spare if args.cluster == "standalone" else None
+        ),
         "phase": args.phase,
         "rollup_throughput_N": rN["rollup_points_per_sec"],
         "rollup_throughput_4N": r4N["rollup_points_per_sec"],
