@@ -581,8 +581,18 @@ def write_report(summary, rN, r4N, args):
                 f"executor JVMs (N = {args.n} cores) vs one of "
                 f"{4 * args.n // args.exec_cores} (4N = {4*args.n} cores), "
                 "every worker",
-                "taskset-pinned to its own disjoint CPU range, drivers on "
-                "separate spare CPUs,",
+                "taskset-pinned to its own disjoint CPU range"
+                + (
+                    " plus ONE dedicated service-spare CPU per worker JVM "
+                    "(for its non-task threads — netty shuffle server, GC, "
+                    "worker daemon — the per-node service headroom every "
+                    "real cluster node has; identical per-worker shape on "
+                    "both clusters, task parallelism still exactly "
+                    "--exec-cores per worker)"
+                    if args.service_spare
+                    else ""
+                )
+                + ", drivers on separate spare CPUs,",
                 "both clusters run SIMULTANEOUSLY,",
             ]
             if args.cluster == "standalone"
@@ -655,8 +665,20 @@ def write_report(summary, rN, r4N, args):
         "meaningful criterion. Rerun: `python tools/scaling_bench.py`.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", report_name), "w") as f:
+    # preserve hand-written analysis: everything from the first '## Appendix'
+    # heading of the existing report survives a rerun (a probe rep must not
+    # erase the measurement-history/diagnosis record — round-4 lesson)
+    path = os.path.join(REPO, "BENCH", report_name)
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("## Appendix")
+        if i != -1:
+            appendix = old[i:]
+    with open(path, "w") as f:
         f.write("\n".join(lines))
+        if appendix:
+            f.write(appendix)
 
 
 if __name__ == "__main__":
