@@ -11,15 +11,23 @@ decode step from a stub into a real decoder:
   * video:  concatenated BMP frames (each frame a complete BMP file; the
     header's bfSize field delimits frames — a minimal but real container).
 
+  * image (compressed): 8-bit non-interlaced PNG (RFC 2083 / ISO 15948) —
+    zlib-deflate scanlines with all five predictor filters, CRC-32 chunk
+    framing; stdlib ``zlib`` does the entropy coding, so a REAL compressed
+    format round-trips here with no third-party library.
+
 All array work is vectorized (frombuffer/reshape/strided indexing — no
-per-pixel Python). Formats outside this set (JPEG/PNG/MP3/MP4) are where a
-real deployment wires PIL/torchaudio/pyav into the same seam; see
+per-pixel Python), except the PNG Average/Paeth unfilter which the spec
+defines as a byte-serial scan (each byte depends on the reconstructed left
+neighbor). Formats outside this set (JPEG/MP3/MP4) are where a real
+deployment wires PIL/torchaudio/pyav into the same seam; see
 ``multimodal.extract_features(decode_backend='real')``.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -159,6 +167,133 @@ def frame_offsets(data: bytes) -> list[int]:
     return offsets
 
 
+# ------------------------------------------------------------------- PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxW (gray), HxWx2 (gray+alpha), HxWx3 (RGB) or HxWx4 (RGBA) uint8 →
+    8-bit non-interlaced PNG bytes. Rows use filter 2 (Up) — a one-shot
+    vectorized mod-256 row difference (uint8 wraparound IS the spec's
+    arithmetic), with filter 0 on the first row."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected HxW[xC] uint8 with C in 1..4, got {arr.shape}")
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    diff = a.copy()
+    diff[1:] = a[1:] - a[:-1]
+    flat = diff.reshape(h, w * c)
+    filters = np.full((h, 1), 2, dtype=np.uint8)
+    filters[0, 0] = 0
+    raw = np.concatenate([filters, flat], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(
+    ftype: int, raw: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    n = raw.shape[0]
+    if ftype == 0:  # None
+        return raw.copy()
+    if ftype == 2:  # Up — vectorized, uint8 wraparound is mod-256 addition
+        return raw + prev
+    if ftype == 1:  # Sub — per-lane cumulative sum mod 256
+        out = np.empty(n, dtype=np.uint8)
+        for off in range(bpp):
+            lane = raw[off::bpp].astype(np.int64)
+            out[off::bpp] = (np.cumsum(lane) & 0xFF).astype(np.uint8)
+        return out
+    # Average (3) and Paeth (4) reconstruct each byte from the already-
+    # reconstructed LEFT neighbor — a byte-serial scan by specification.
+    rawl, prevl = raw.tolist(), prev.tolist()
+    outl = [0] * n
+    if ftype == 3:
+        for x in range(n):
+            left = outl[x - bpp] if x >= bpp else 0
+            outl[x] = (rawl[x] + ((left + prevl[x]) >> 1)) & 0xFF
+    elif ftype == 4:
+        for x in range(n):
+            a = outl[x - bpp] if x >= bpp else 0
+            b = prevl[x]
+            cc = prevl[x - bpp] if x >= bpp else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            outl[x] = (rawl[x] + pred) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return np.asarray(outl, dtype=np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → HxWxC uint8 (C per the color type: 1 gray, 2 gray+alpha,
+    3 RGB, 4 RGBA). Supports bit depth 8, non-interlaced, all five scanline
+    filters; verifies every chunk CRC. Raises ValueError for non-PNG bytes
+    or PNG subformats outside that envelope (palette, 16-bit, interlaced) —
+    the signal decode_image_any uses to fall through to Pillow."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = 8
+    w = h = depth = color = interlace = None
+    idat: list[bytes] = []
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != zlib.crc32(tag + body):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT chunk")
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced gray/RGB(A) PNG supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data length mismatch ({len(raw)} != {h*(stride+1)})"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        recon[y] = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, c)
+        prev = recon[y]
+    return recon.reshape(h, w, c)
+
+
 # ------------------------------------------------ optional real-world formats
 # JPEG/PNG (via Pillow) and compressed audio (via soundfile) light up
 # automatically when the libraries are installed — the sandbox this engine
@@ -184,7 +319,8 @@ except ImportError:
 
 def decode_image_any(data: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWx3 uint8 RGB array: the in-house
-    BMP codec first, then Pillow for anything it can open (JPEG/PNG/...).
+    BMP and PNG codecs first, then Pillow for anything it can open
+    (JPEG, exotic PNG subformats, ...).
     Raises ValueError when no available decoder accepts the payload — the
     signal extract_features' 'auto' policy treats as 'not decodable here'
     (a genuine decoder bug still raises its own exception type)."""
@@ -192,6 +328,20 @@ def decode_image_any(data: bytes) -> "np.ndarray":
         return decode_bmp(data)
     except (ValueError, struct.error):
         pass
+    if data[:8] == _PNG_SIG:
+        try:
+            arr = decode_png(data)
+        except ValueError:
+            if not HAVE_PIL:  # unsupported PNG subformat, nothing to fall to
+                raise
+        else:
+            if arr.shape[2] == 1:
+                return np.repeat(arr, 3, axis=2)
+            if arr.shape[2] == 2:  # gray + alpha → replicate luma
+                return np.repeat(arr[:, :, :1], 3, axis=2)
+            if arr.shape[2] == 4:
+                return arr[:, :, :3].copy()
+            return arr
     if HAVE_PIL:
         import io as _io
 

@@ -279,13 +279,14 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas featurization: (media_id, modality, features:array<float>).
 
-    ``decode_backend='real'`` decodes BMP/WAV/frame-container payloads
-    (media_codecs.py) and featurizes actual pixels/samples; null payloads
+    ``decode_backend='real'`` decodes BMP/PNG/WAV/frame-container payloads
+    (media_codecs.py — PNG via stdlib zlib, no third-party library) and
+    featurizes actual pixels/samples; null payloads
     yield null features; undecodable payloads raise. ``'fake'`` is the
     content-blind hash featurizer. ``'auto'`` (default) tries the real
     decoder and falls back to the hash featurizer per row ONLY when the
-    payload is not one of the in-house formats (codec ``ValueError`` /
-    ``struct.error`` — e.g. real JPEG/PNG/MP3 bytes), so a mixed corpus
+    payload is not one of the decodable formats (codec ``ValueError`` /
+    ``struct.error`` — e.g. real JPEG/MP3 bytes), so a mixed corpus
     never fails mid-job; any other exception (a decoder bug) still raises
     so real defects surface. ``with_backend_col=True`` appends a
     ``feature_backend`` column ('real'/'fake', null payload → null) so

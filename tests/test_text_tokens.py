@@ -234,6 +234,97 @@ def test_media_codecs_roundtrip():
     assert up.shape == (8, 8, 3) and (up == 77).all()
 
 
+def test_png_codec_roundtrip_and_filters():
+    """Stdlib-zlib PNG codec: exact round-trip for every supported color
+    type, all five scanline filters decoded against an independent
+    reference implementation, CRC verification, and decode_image_any
+    dispatch — the real-compressed-format path exercised with no Pillow."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as pt
+
+    from preprocessor_spark.functions import media_codecs as mc
+
+    rng = np.random.default_rng(11)
+    # round-trip: gray, gray+alpha, RGB, RGBA at awkward sizes
+    for shape in ((3, 5), (7, 2, 2), (5, 9, 3), (4, 3, 4), (1, 1, 3)):
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        back = mc.decode_png(mc.encode_png(arr))
+        want = arr[:, :, None] if arr.ndim == 2 else arr
+        assert np.array_equal(back, want), shape
+
+    # all five filters: craft raw scanlines with filter bytes 0..4 and
+    # compare against a from-the-spec scalar reference unfilter
+    h, w, c = 5, 4, 3
+    raw_rows = rng.integers(0, 256, (h, w * c), dtype=np.uint8)
+    filt = np.array([0, 1, 2, 3, 4], dtype=np.uint8)
+    scan = b"".join(
+        bytes([filt[y]]) + raw_rows[y].tobytes() for y in range(h)
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got = mc.decode_png(png)
+
+    # independent reference: straight transcription of RFC 2083 §6
+    ref = np.zeros((h, w * c), dtype=np.int64)
+    for y in range(h):
+        for x in range(w * c):
+            rv = int(raw_rows[y, x])
+            left = ref[y, x - c] if x >= c else 0
+            up = ref[y - 1, x] if y >= 1 else 0
+            ul = ref[y - 1, x - c] if (x >= c and y >= 1) else 0
+            if filt[y] == 0:
+                val = rv
+            elif filt[y] == 1:
+                val = rv + left
+            elif filt[y] == 2:
+                val = rv + up
+            elif filt[y] == 3:
+                val = rv + (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                val = rv + pred
+            ref[y, x] = val % 256
+    assert np.array_equal(got.reshape(h, w * c), ref.astype(np.uint8))
+
+    # a flipped bit must fail the CRC check, not decode silently
+    bad = bytearray(png)
+    bad[40] ^= 0x01
+    with pt.raises(ValueError, match="CRC|IHDR|signature"):
+        mc.decode_png(bytes(bad))
+
+    # decode_image_any dispatches PNG without Pillow and converts to RGB
+    rgb = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    assert np.array_equal(mc.decode_image_any(mc.encode_png(rgb)), rgb)
+    gray = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    out = mc.decode_image_any(mc.encode_png(gray))
+    assert out.shape == (4, 4, 3) and np.array_equal(out[:, :, 0], gray)
+    rgba = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    assert np.array_equal(
+        mc.decode_image_any(mc.encode_png(rgba)), rgba[:, :, :3]
+    )
+
+
 def test_multimodal_real_resize_and_frames(spark):
     """Real pixel resize re-encodes decodable BMPs at the target box; real
     frame extraction yields one standalone decodable BMP per frame."""
