@@ -365,7 +365,9 @@ def main():
     # whole (overlapping) runtime in the graded phase instead of the 4N
     # side finishing its rollup while the N side is still preparing.
     if args.phase == "rollup":
-        setup = os.path.join(args.workdir, "out_setup")
+        # keyed by corpus identity: a differently-sized corpus must never
+        # resume from another corpus's prepared series
+        setup = os.path.join(args.workdir, f"out_setup_{args.rows}{suffix}")
         if not os.path.exists(os.path.join(setup, "prepared", "_SUCCESS")):
             local_dir = os.path.join(args.workdir, "spark_local_setup")
             os.makedirs(local_dir, exist_ok=True)
