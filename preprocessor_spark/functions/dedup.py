@@ -519,8 +519,82 @@ def embedding_bucket_keys(
     signature collides in another. Factored out of
     :func:`embedding_near_dups` so bucket-size diagnostics derive from the
     exact self-join keys."""
-    from preprocessor_spark.functions.similarity import lsh_bucket
+    from preprocessor_spark.functions.similarity import (
+        LSH_INLINE_TERM_LIMIT,
+        lsh_bucket,
+        lsh_bucket_arrow,
+        lsh_plane_bits,
+    )
 
+    # Big dim×planes signatures go to the vectorized Arrow twin (one fused
+    # numpy multiply-add per dim, bit-identical — see lsh_bucket_arrow):
+    # past ~200-500 inline terms Spark can't compile the stage and drops to
+    # ~1 ms/row interpreted evaluation, which is 30+ CPU-hours per 10^8
+    # docs. Below the limit, pure inline expressions avoid Python entirely.
+    if dim is not None and dim * num_planes > LSH_INLINE_TERM_LIMIT:
+        sigs = df.select(
+            id_col,
+            emb_col,
+            *[
+                lsh_bucket_arrow(
+                    emb_col, num_planes, seed + 1_000_003 * t, dim=dim
+                ).alias(f"__bv{t}")
+                for t in range(num_tables)
+            ],
+        )
+        return sigs.select(
+            id_col,
+            emb_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("ti"),
+                            F.col(f"__bv{t}").alias("bv"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("__t"),
+        ).select(id_col, emb_col, "__t.ti", "__t.bv")
+
+    # Signature construction is shaped for codegen, not elegance: nesting
+    # the full num_tables × num_planes × dim signature arithmetic inside
+    # the generator expression put every term in ONE generated method,
+    # which overflowed janino's 64 KB limit at (4 × 16 × 16), dropping the
+    # stage out of whole-stage codegen — and in unfused mode a Generate
+    # node's generator is evaluated INTERPRETED, so all 1024 terms ran on
+    # the slow path. Hoisting the arithmetic into a child Project puts it
+    # on per-operator projection codegen (GenerateUnsafeProjection, which
+    # DOES split long expression lists into sub-methods), and the
+    # generator then just sums num_planes precomputed longs per table —
+    # exact long addition, bit-identical to the packed signature.
+    # distinct plane family per table; 1_000_003 is just a collision-free
+    # seed spacing (the md5 key is 'plane:{seed}:{plane}:{dim_idx}')
+    if dim is not None:
+        proj = [F.col(id_col), F.col(emb_col)]
+        for t in range(num_tables):
+            bits = lsh_plane_bits(
+                emb_col, num_planes, seed + 1_000_003 * t, dim=dim
+            )
+            proj.extend(b.alias(f"__pb{t}_{p}") for p, b in enumerate(bits))
+        sigs = df.select(*proj)
+
+        def bv(t: int) -> Column:
+            out = F.col(f"__pb{t}_0")
+            for p in range(1, num_planes):
+                out = out + F.col(f"__pb{t}_{p}")
+            return out.cast("bigint")
+
+        table_structs = [
+            F.struct(F.lit(t).alias("ti"), bv(t).alias("bv"))
+            for t in range(num_tables)
+        ]
+        return sigs.select(
+            id_col,
+            emb_col,
+            F.explode(F.array(*table_structs)).alias("__t"),
+        ).select(id_col, emb_col, "__t.ti", "__t.bv")
     return df.select(
         id_col,
         emb_col,
@@ -530,13 +604,7 @@ def embedding_bucket_keys(
                     F.struct(
                         F.lit(t).alias("ti"),
                         lsh_bucket(
-                            emb_col,
-                            num_planes,
-                            # distinct plane family per table; 1_000_003 is
-                            # just a collision-free seed spacing (the md5
-                            # key is 'plane:{seed}:{plane}:{dim_idx}')
-                            seed + 1_000_003 * t,
-                            dim=dim,
+                            emb_col, num_planes, seed + 1_000_003 * t, dim=dim
                         ).alias("bv"),
                     )
                     for t in range(num_tables)

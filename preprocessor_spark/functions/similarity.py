@@ -14,6 +14,7 @@ broadcast state and results are invariant to parallelism.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -40,8 +41,12 @@ def cosine(a: Column, b: Column) -> Column:
 # Spark's higher-order functions (zip_with / aggregate / transform) run on
 # the INTERPRETED expression path — per-element closure dispatch, outside
 # whole-stage codegen. When the embedding dimension is statically known
-# (the normal case: a corpus has one dim), an unrolled sum of element_at
-# products is pure codegen arithmetic, ~an order of magnitude cheaper per
+# (the normal case: a corpus has one dim), an unrolled sum of get()
+# products is pure codegen arithmetic (get(), 0-based and NULL on
+# out-of-bounds, over ANSI element_at: the latter emits a throw branch +
+# error-context reference PER TERM under Spark 4's default ANSI mode,
+# which blew janino's 64KB method limit at 4 tables x 16 planes x 16
+# dims and knocked the stage out of whole-stage codegen), ~an order of magnitude cheaper per
 # pair. The summation is the same left-to-right fold as dot()/norm(), so
 # results are bit-identical (the only divergence is the sign of a -0.0
 # total, which no downstream comparison can observe).
@@ -67,8 +72,7 @@ def _sql_operand(c: Column | str) -> str | None:
 
 def _dot_inline_cols(a: Column, b: Column, dim: int) -> Column:
     terms = [
-        F.element_at(a, i + 1).cast("double")
-        * F.element_at(b, i + 1).cast("double")
+        F.get(a, i).cast("double") * F.get(b, i).cast("double")
         for i in range(dim)
     ]
     out = terms[0]
@@ -87,8 +91,8 @@ def dot_inline(a: Column | str, b: Column | str, dim: int) -> Column:
         return _dot_inline_cols(_as_col(a), _as_col(b), dim)
     return F.expr(
         " + ".join(
-            f"(CAST(element_at(({sa}), {i + 1}) AS DOUBLE)"
-            f" * CAST(element_at(({sb}), {i + 1}) AS DOUBLE))"
+            f"(CAST(get(({sa}), {i}) AS DOUBLE)"
+            f" * CAST(get(({sb}), {i}) AS DOUBLE))"
             for i in range(dim)
         )
     )
@@ -101,14 +105,14 @@ def norm_inline(a: Column | str, dim: int) -> Column:
 def dot_query_inline(emb: Column | str, query: list[float]) -> Column:
     """Unrolled dot product against a LITERAL query vector: each component
     is inlined as a scalar literal. (Inlining the query as an array literal
-    instead — ``element_at(array(...64 casts...), i)`` per term — replicates
+    instead — ``get(array(...64 casts...), i)`` per term — replicates
     the array 64×, and the megabyte parse/analyze cost dominated the whole
     query; scalar literals keep the tree ~1 node per term.)"""
     e_sql = _sql_operand(emb)
     if e_sql is None:
         emb_c = _as_col(emb)
         terms = [
-            F.element_at(emb_c, i + 1).cast("double") * F.lit(float(x))
+            F.get(emb_c, i).cast("double") * F.lit(float(x))
             for i, x in enumerate(query)
         ]
         out = terms[0]
@@ -117,7 +121,7 @@ def dot_query_inline(emb: Column | str, query: list[float]) -> Column:
         return out
     return F.expr(
         " + ".join(
-            f"(CAST(element_at(({e_sql}), {i + 1}) AS DOUBLE)"
+            f"(CAST(get(({e_sql}), {i}) AS DOUBLE)"
             f" * CAST('{float(x)!r}' AS DOUBLE))"
             for i, x in enumerate(query)
         )
@@ -155,8 +159,8 @@ def cosine_inline(a: Column | str, b: Column | str, dim: int) -> Column:
 
 def validate_dim(df: DataFrame, emb_col: str, dim: int) -> None:
     """Fail fast when a caller-declared embedding dimension disagrees with
-    the data. The unrolled codegen paths index ``element_at(emb, 1..dim)``,
-    and under non-ANSI Spark an out-of-range index returns NULL — a
+    the data. The unrolled codegen paths index ``get(emb, 0..dim-1)``,
+    and an out-of-range index returns NULL — a
     too-large ``dim`` NULL-poisons every cosine (near-dup joins silently
     return ZERO pairs) and a too-small one silently truncates the dot
     product. One LIMIT-1 scan of a sampled row is negligible next to the
@@ -169,7 +173,7 @@ def validate_dim(df: DataFrame, emb_col: str, dim: int) -> None:
     if row is not None and row["__n"] != dim:
         raise ValueError(
             f"dim={dim} does not match {emb_col!r} arrays of length "
-            f"{row['__n']}: element_at past the end would return NULL "
+            f"{row['__n']}: get() past the end would return NULL "
             "(poisoning every cosine) and a short dim silently truncates"
         )
 
@@ -250,7 +254,7 @@ def lsh_bucket(
             parts = []
             for p in range(num_planes):
                 d = " + ".join(
-                    f"(CAST(element_at(({e_sql}), {i + 1}) AS DOUBLE)"
+                    f"(CAST(get(({e_sql}), {i}) AS DOUBLE)"
                     f" * CAST('{_plane_weight(p, i, seed)!r}' AS DOUBLE))"
                     for i in range(dim)
                 )
@@ -263,7 +267,7 @@ def lsh_bucket(
         emb_c = _as_col(emb)
         for p in range(num_planes):
             terms = [
-                F.element_at(emb_c, i + 1).cast("double")
+                F.get(emb_c, i).cast("double")
                 * F.lit(_plane_weight(p, i, seed))
                 for i in range(dim)
             ]
@@ -285,6 +289,111 @@ def lsh_bucket(
         d = F.aggregate(zipped, F.lit(0.0), lambda acc, v: acc + v)
         sig = sig + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
+
+
+def lsh_plane_bits(
+    emb: Column | str,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> list[Column]:
+    """Per-plane signature bits: element p is ``sign(dot(emb, plane_p))
+    << p`` as a long, so summing the list reproduces :func:`lsh_bucket`
+    EXACTLY (long addition is exact and order-free; each plane's dot keeps
+    the same left-to-right fold). Callers that project each plane as its
+    own column keep every generated method a ~dim-term sum — a packed
+    num_planes × dim signature is ONE codegen unit, and past ~200 terms it
+    overflows janino's 64 KB method limit, dropping its stage out of
+    whole-stage codegen (worst inside a Generate node, whose generator is
+    evaluated interpreted in unfused mode — see embedding_bucket_keys)."""
+    if dim is None:
+        raise ValueError("lsh_plane_bits requires a static dim")
+    e_sql = _sql_operand(emb)
+    out: list[Column] = []
+    if e_sql is not None:
+        for p in range(num_planes):
+            d = " + ".join(
+                f"(CAST(get(({e_sql}), {i}) AS DOUBLE)"
+                f" * CAST('{_plane_weight(p, i, seed)!r}' AS DOUBLE))"
+                for i in range(dim)
+            )
+            out.append(
+                F.expr(f"(CASE WHEN ({d}) > 0D THEN {1 << p}L ELSE 0L END)")
+            )
+        return out
+    emb_c = _as_col(emb)
+    for p in range(num_planes):
+        terms = [
+            F.get(emb_c, i).cast("double") * F.lit(_plane_weight(p, i, seed))
+            for i in range(dim)
+        ]
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        out.append(
+            F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
+    return out
+
+
+# How many inline multiply-add terms one signature may carry before the
+# Arrow path takes over: past ~200-500 terms the generated stage overflows
+# janino's 64 KB method limit, Spark burns seconds ATTEMPTING the doomed
+# compile on every action, then evaluates the whole stage on the
+# interpreted per-node path (~1 ms/row at 512 terms — 30+ CPU-hours per
+# 10^8 rows). The Arrow path is one fused numpy multiply-add per dim
+# (~0.2 µs/row) and is bit-identical, so the crossover is generous.
+LSH_INLINE_TERM_LIMIT = 192
+
+
+def lsh_bucket_arrow(
+    emb: Column | str,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> Column:
+    """Vectorized Arrow twin of :func:`lsh_bucket` for large dim×planes
+    products — a scalar pandas UDF whose weight matrix is precomputed on
+    the driver from the SAME ``_plane_weight`` md5 constants.
+
+    Bit-identical to the inline path by construction: float32 elements
+    widen to float64 before multiplying (numpy ``astype`` == SQL CAST),
+    the dim fold accumulates in the same left-to-right order (one
+    vectorized ``acc += e_i · w_i`` per dimension — order per element is
+    ascending i, exactly the inline sum's association), the sign rule is
+    the same strict ``> 0``, and NULL / wrong-length embeddings yield
+    signature 0 (the inline CASE's NULL-dot result). The leading +0.0 in
+    the accumulator cannot flip a sign: it only rewrites -0.0 totals to
+    +0.0, and neither satisfies ``> 0``."""
+    if dim is None:
+        raise ValueError("lsh_bucket_arrow requires a static dim")
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    W = np.empty((dim, num_planes), dtype=np.float64)
+    for p in range(num_planes):
+        for i in range(dim):
+            W[i, p] = _plane_weight(p, i, seed)
+    powers = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("long")
+    def _sig(col: pd.Series) -> pd.Series:
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        ok = col.map(lambda v: v is not None and len(v) == dim)
+        E = np.zeros((n, dim), dtype=np.float64)
+        if ok.any():
+            E[np.asarray(ok.values, dtype=bool)] = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in col[ok]]
+            )
+        acc = np.zeros((n, num_planes), dtype=np.float64)
+        for i in range(dim):
+            acc += E[:, i : i + 1] * W[i]
+        bv = ((acc > 0).astype(np.int64) * powers).sum(axis=1)
+        return pd.Series(bv, index=col.index)
+
+    return _sig(_as_col(emb))
 
 
 def lsh_topk(
@@ -317,10 +426,13 @@ def lsh_topk(
     )
     if round_digits is not None:
         cos = F.round(cos, round_digits)
+    sig = (
+        lsh_bucket_arrow(emb_col, num_planes, seed, dim=dim)
+        if dim * num_planes > LSH_INLINE_TERM_LIMIT
+        else lsh_bucket(emb_col, num_planes, seed, dim=dim)
+    )
     return (
-        df.withColumn(
-            "__bucket", lsh_bucket(emb_col, num_planes, seed, dim=dim)
-        )
+        df.withColumn("__bucket", sig)
         .filter(F.col("__bucket") == qbucket)
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)

@@ -129,8 +129,11 @@ def test_embedding_pairs_plan_barrier(spark):
     assert bnlj, f"expected a BroadcastNestedLoopJoin in:\n{plan}"
     for ln in bnlj:
         # the join condition must carry only the id inequality — any
-        # element_at means the unrolled dot product leaked into the join
-        assert "element_at" not in ln, f"cosine pushed into join:\n{plan}"
+        # reference to the embedding column (element_at/get/emb#n[i] all
+        # print the column name) means the dot product leaked into the join
+        assert "element_at" not in ln and "embedding" not in ln, (
+            f"cosine pushed into join:\n{plan}"
+        )
         assert "id_a" in ln and "id_b" in ln, f"unexpected condition:\n{plan}"
     # the barrier itself: the cosine is emitted through a Generate node
     assert "Generate explode" in plan, f"explode barrier missing:\n{plan}"
@@ -138,3 +141,78 @@ def test_embedding_pairs_plan_barrier(spark):
     assert any(
         "Filter" in ln and "cos_sim" in ln for ln in plan.splitlines()
     ), f"cos_sim filter not found above the join:\n{plan}"
+
+
+def test_lsh_bucket_arrow_bit_identical_to_inline(spark, emb_df):
+    """The vectorized Arrow signature twin must reproduce the inline
+    codegen signature EXACTLY (same md5 weights, same dim fold order, same
+    strict sign rule) — it is what embedding_bucket_keys/lsh_topk switch
+    to past LSH_INLINE_TERM_LIMIT, where Spark can no longer compile the
+    unrolled expressions."""
+    from preprocessor_spark.functions.similarity import (
+        lsh_bucket,
+        lsh_bucket_arrow,
+    )
+
+    for planes, seed in ((8, 42), (12, 7), (1, 99)):
+        out = emb_df.select(
+            lsh_bucket("embedding", planes, seed, dim=DIM).alias("a"),
+            lsh_bucket_arrow("embedding", planes, seed, dim=DIM).alias("b"),
+        )
+        assert out.filter("a <> b").count() == 0
+    # NULL and wrong-length embeddings produce signature 0 on both paths
+    odd = spark.createDataFrame(
+        pd.DataFrame({"embedding": [None, [1.0] * (DIM - 1), [1.0] * DIM]}),
+        schema=f"embedding array<float>",
+    )
+    rows = odd.select(
+        lsh_bucket("embedding", 4, 42, dim=DIM).alias("a"),
+        lsh_bucket_arrow("embedding", 4, 42, dim=DIM).alias("b"),
+    ).collect()
+    assert [r["a"] for r in rows] == [r["b"] for r in rows]
+    assert rows[0]["b"] == 0 and rows[1]["b"] == 0
+
+
+def test_embedding_bucket_keys_backend_dispatch(spark, emb_df):
+    """Past LSH_INLINE_TERM_LIMIT the bucket keys come from the Arrow stage
+    (ArrowEvalPython in the plan); below it, pure inline expressions (no
+    Python anywhere). Both produce identical (ti, bv) keys."""
+    from preprocessor_spark.functions.dedup import embedding_bucket_keys
+    from preprocessor_spark.functions.similarity import LSH_INLINE_TERM_LIMIT
+
+    planes_big = LSH_INLINE_TERM_LIMIT // DIM + 1  # dim*planes just over
+    big = embedding_bucket_keys(
+        emb_df, "embedding", "vec_id", planes_big, 42, dim=DIM, num_tables=2
+    )
+    assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+    small = embedding_bucket_keys(
+        emb_df, "embedding", "vec_id", 2, 42, dim=DIM, num_tables=2
+    )
+    assert (
+        "ArrowEvalPython"
+        not in small._jdf.queryExecution().executedPlan().toString()
+    )
+    # cross-check the big path against the inline per-plane construction
+    # at the same planes count (forced by calling lsh_bucket directly)
+    from preprocessor_spark.functions.similarity import lsh_bucket
+    import pyspark.sql.functions as F
+
+    inline = emb_df.select(
+        F.col("vec_id"),
+        *[
+            lsh_bucket(
+                "embedding", planes_big, 42 + 1_000_003 * t, dim=DIM
+            ).alias(f"bv{t}")
+            for t in range(2)
+        ],
+    )
+    joined = (
+        big.groupBy("vec_id")
+        .pivot("ti", [0, 1])
+        .sum("bv")
+        .join(inline, "vec_id")
+    )
+    assert (
+        joined.filter("`0` <> bv0 OR `1` <> bv1").count() == 0
+        and joined.count() == N
+    )
