@@ -45,11 +45,18 @@ VOCAB = [
 ]
 
 
-def synth_documents(spark, n_rows: int, seed: int = 42):
+def synth_documents(spark, n_rows: int, seed: int = 42, vocab_size: int = 64):
     """Deterministic documents table: (doc_id, text). ~7% of rows with
     doc_id >= 64 are near-duplicates of doc_id - (h%63+1) with one word
     replaced; text(i) is a pure column function of i, so the duplicate's
-    base text is re-derived, never joined."""
+    base text is re-derived, never joined.
+
+    ``vocab_size`` controls the word universe: 64 (the default) draws from
+    the legacy VOCAB list (bit-identical to every recorded bench), any
+    other size derives words as ``w<hash mod vocab_size>`` — a heavy-tailed
+    -free uniform vocabulary used to separate blocking-scheme scaling from
+    the 64-word saturation artifact (word-level simhash signatures cluster
+    when every doc contains most of a tiny vocabulary)."""
     from pyspark.sql import functions as F
 
     df = spark.range(n_rows).withColumnRenamed("id", "_i")
@@ -60,17 +67,23 @@ def synth_documents(spark, n_rows: int, seed: int = 42):
     base = F.when(
         is_dup, F.col("_i") - (h(F.col("_i"), F.lit("off")) % 63 + 1)
     ).otherwise(F.col("_i"))
+    if vocab_size == len(VOCAB):
+        word = lambda hh: F.element_at(  # noqa: E731
+            vocab, (hh % len(VOCAB) + 1).cast("int")
+        )
+    else:
+        word = lambda hh: F.concat(  # noqa: E731
+            F.lit("w"), (hh % vocab_size).cast("string")
+        )
     # length 40..167 words, derived from the BASE id so dup pairs align
     length = (h(base, F.lit("len")) % 128 + 40).cast("int")
     words = F.transform(
         F.sequence(F.lit(1), length),
-        lambda j: F.element_at(vocab, (h(base, j) % len(VOCAB) + 1).cast("int")),
+        lambda j: word(h(base, j)),
     )
     # dups substitute ONE word position (re-derived, not copied)
     mut_pos = (h(F.col("_i"), F.lit("pos")) % length + 1).cast("int")
-    mut_word = F.element_at(
-        vocab, (h(F.col("_i"), F.lit("w")) % len(VOCAB) + 1).cast("int")
-    )
+    mut_word = word(h(F.col("_i"), F.lit("w")))
     words = F.when(
         is_dup,
         F.transform(
