@@ -54,7 +54,16 @@ def token_sequences(
       * gaps:   whole (minute, source) cells punched by hash → every tier
         has missing buckets for gap-fill to repair.
     """
-    df = spark.range(n_rows).withColumnRenamed("id", "_i")
+    # Size the range partitions by DATA, not by core count: every row value
+    # is a pure function of the id, so partitioning never changes content —
+    # but a fixed 32-way split puts n/32 rows in each generation task, and
+    # past ~5×10^8 rows the partitioned-parquet write buffers of a 30M-row
+    # task exceed the executor heap (measured OOM generating 10^9 rows).
+    # ~8M rows per task keeps write memory flat at any corpus size.
+    parts = int(
+        max(spark.sparkContext.defaultParallelism, n_rows // 8_000_000)
+    )
+    df = spark.range(0, n_rows, 1, parts).withColumnRenamed("id", "_i")
     h = lambda *cols: F.abs(F.xxhash64(F.lit(seed), *cols))  # noqa: E731
 
     src_bucket = h(F.col("_i"), F.lit("src")) % 10
