@@ -444,25 +444,37 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
 # -------------------------------------------------------------- embeddings
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 to the vec_id=0 embedding (exact ANN
-    baseline)."""
-    from preprocessor_spark.functions.similarity import cosine
+    baseline).
+
+    The 1-row query vector is collected driver-side (the standard
+    fit/transform-style tiny collect) and inlined as scalar literals:
+    scoring is then a SINGLE scan with an unrolled codegen dot —
+    TakeOrderedAndProject, no join. The earlier broadcast-crossJoin shape
+    put the interpreted HOF cosine inside the join's generated consume
+    method, which blew janino's 64 KB limit and silently dropped the whole
+    stage to interpreted execution (observed in the driver sweep)."""
+    import math
+
+    from preprocessor_spark.functions.similarity import (
+        _py_fold_dot,
+        dot_query_inline,
+        norm_inline,
+    )
 
     e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    # ||q|| precomputed with the same left-fold order as the Spark/oracle
+    # expressions (IEEE-754 ops are deterministic given order), so
+    # dot/(norm_e * lit(norm_q)) is bit-identical to the joined form
+    qn = math.sqrt(_py_fold_dot(q, q))
+    cos = dot_query_inline("embedding", q) / (
+        norm_inline("embedding", len(q)) * F.lit(qn)
     )
     return (
-        e.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                cosine(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("q_emb").cast("array<double>"),
-                ),
-                4,
-            ).alias("cos_sim"),
-        )
+        e.select("vec_id", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
@@ -483,30 +495,38 @@ def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     same rounded surface:
       * each side's L2 norm is computed once per row BELOW the join, so
         the per-pair expression is a single unrolled codegen dot product
-        (similarity.dot_inline — same products, same summation order);
+        (same products, same summation order as similarity.dot_inline);
+      * each side's embedding is cast to array<double> ONCE below the
+        join, so the per-pair dot is 64 bare get()*get() terms with no
+        per-term CAST (float→double widening commutes with get — values
+        bit-identical). Measured 2.1x faster at sf0.1 (8.9 → 4.2 s), and
+        it keeps the fused join+generate+project consume method under
+        janino's 64 KB limit — the per-term CAST variant was observed
+        falling back to interpreted execution in the 50-query sweep;
       * the cosine is emitted through explode(array(...)) — a Generate
         node, which predicate pushdown cannot cross, keeping the join
         condition at the cheap `id_a < id_b` and the heavy arithmetic in
         a codegen'd operator above it;
       * the stream side is repartitioned so the pair loop parallelizes
         instead of running as one task."""
-    from preprocessor_spark.functions.similarity import dot_inline, norm_inline
+    from preprocessor_spark.functions.similarity import norm_inline
 
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
     dim = 64  # embeddings table dim (TESTDATA.md); static per corpus
     l = e.repartition(32).select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
+        F.col("embedding").cast("array<double>").alias("ea"),
         norm_inline("embedding", dim).alias("na"),
     )
     r = e.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
+        F.col("embedding").cast("array<double>").alias("eb"),
         norm_inline("embedding", dim).alias("nb"),
     )
-    cos = F.round(
-        dot_inline("ea", "eb", dim) / (F.col("na") * F.col("nb")), 4
+    dot = F.expr(
+        " + ".join(f"(get(ea, {i}) * get(eb, {i}))" for i in range(dim))
     )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 4)
     return (
         l.join(r, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.explode(F.array(cos)).alias("cos_sim"))

@@ -649,7 +649,8 @@ def embedding_near_dups(
     HOF path's single-precision products)."""
     from preprocessor_spark.functions.similarity import (
         cosine,
-        cosine_inline,
+        dot_inline,
+        norm_inline,
         validate_dim,
     )
 
@@ -660,10 +661,21 @@ def embedding_near_dups(
     keys = embedding_bucket_keys(
         df, emb_col, id_col, num_planes, seed, dim, num_tables
     )
+    if dim is not None:
+        # Precompute each side's L2 norm ONCE per key row BELOW the join
+        # (8 bytes of extra shuffle payload). Fusing the full 3x-unrolled
+        # cosine_inline (dot + both norms = 192 CAST(get) terms) into the
+        # join's generated consume method was measured blowing janino's
+        # 64 KB limit in multi-query sessions — Spark silently falls back
+        # to interpreted execution for the whole stage. The remaining
+        # per-pair expression is the single 64-term dot, the same shape
+        # the exact-pair query compiles cleanly.
+        keys = keys.withColumn("__nrm", norm_inline(emb_col, dim))
     l, r = keys.alias("l"), keys.alias("r")
     la, ra = F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")
     cos = (
-        cosine_inline(f"l.{emb_col}", f"r.{emb_col}", dim)
+        dot_inline(f"l.{emb_col}", f"r.{emb_col}", dim)
+        / (F.col("l.__nrm") * F.col("r.__nrm"))
         if dim is not None
         else cosine(la, ra)
     )

@@ -143,6 +143,32 @@ def test_embedding_pairs_plan_barrier(spark):
     ), f"cos_sim filter not found above the join:\n{plan}"
 
 
+def test_similarity_topk_plan_is_single_scan(spark):
+    """Pins q_similarity_topk's join-free shape: the query vector is
+    collected driver-side and inlined, so the plan must be one scan +
+    TakeOrderedAndProject with NO join. The earlier broadcast-crossJoin
+    form put the interpreted HOF cosine inside the join's generated
+    consume method, blew janino's 64 KB method limit, and silently dropped
+    the whole stage to interpreted execution — a regression a future edit
+    could quietly reintroduce."""
+    import importlib.util
+    import os
+    from pathlib import Path
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    entry_path = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("spark_entry", entry_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.queries()["similarity_topk"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_lsh_bucket_arrow_bit_identical_to_inline(spark, emb_df):
     """The vectorized Arrow signature twin must reproduce the inline
     codegen signature EXACTLY (same md5 weights, same dim fold order, same

@@ -328,6 +328,16 @@ def main():
         "Spark still schedules exactly --exec-cores task threads/worker",
     )
     ap.add_argument(
+        "--balanced",
+        action="store_true",
+        help="(rollup phase) keep the 4N cluster busy for the N side's "
+        "ENTIRE measurement window by relaunching its resume-mode run "
+        "back-to-back until the N job exits; the 4N side scores the median "
+        "over its fully-contained runs. Without this the 4N side goes idle "
+        "after ~1/3 of the N side's wall, so the N side is measured on a "
+        "quieter host than the 4N side and efficiency is biased down",
+    )
+    ap.add_argument(
         "--len-cap",
         type=int,
         default=None,
@@ -401,21 +411,19 @@ def main():
             offset += cpus
 
     pairs: list[tuple[dict, dict]] = []
+    balanced_runs_per_rep: list[list[int]] = []
     try:
         for rep in range(args.reps):
             procs = {}
-            offset = 0
-            for cpus in (args.n, 4 * args.n):
+            offsets = {args.n: 0, 4 * args.n: args.n}
+
+            def _launch(cpus):
                 out = os.path.join(args.workdir, f"out_{cpus}")
-                if args.phase == "rollup":
-                    strip_tiers(out)
-                else:
-                    shutil.rmtree(out, ignore_errors=True)
                 local_dir = os.path.join(args.workdir, f"spark_local_{cpus}")
                 os.makedirs(local_dir, exist_ok=True)
-                procs[cpus] = launch_job(
+                return launch_job(
                     pyfiles, corpus, out, cpus, local_dir=local_dir,
-                    cpu_offset=offset, resume=args.phase == "rollup",
+                    cpu_offset=offsets[cpus], resume=args.phase == "rollup",
                     warmup=args.phase == "rollup",
                     cluster_url=(
                         clusters[cpus].url if args.cluster == "standalone" else None
@@ -424,8 +432,71 @@ def main():
                     extra_confs=args.conf,
                     exec_cores=args.exec_cores,
                 )
-                offset += cpus
-            r = {cpus: collect_job(p, cpus) for cpus, p in procs.items()}
+
+            for cpus in (args.n, 4 * args.n):
+                out = os.path.join(args.workdir, f"out_{cpus}")
+                if args.phase == "rollup":
+                    strip_tiers(out)
+                else:
+                    shutil.rmtree(out, ignore_errors=True)
+                procs[cpus] = _launch(cpus)
+            if args.balanced and args.phase == "rollup":
+                # Balanced pairing: the 4N run is ~3-4x shorter than the N
+                # run, so with one run per side the N side spends the last
+                # ~2/3 of its measurement on an otherwise-idle host while
+                # the 4N side is measured entirely under contention — an
+                # asymmetry that biases efficiency DOWN. Relaunch the 4N
+                # resume-run back-to-back until the N job exits, so BOTH
+                # clusters are busy for the N side's whole window; the 4N
+                # side scores the median of its fully-contained runs.
+                n_proc = procs[args.n]
+                out4 = os.path.join(args.workdir, f"out_{4 * args.n}")
+                p4 = procs[4 * args.n]
+                runs4: list[dict] = []
+                discarded_tail = 0
+                while True:
+                    res4 = collect_job(p4, 4 * args.n)
+                    if n_proc.poll() is None or not runs4:
+                        # fully contained in the N window (or the only run)
+                        runs4.append(res4)
+                    else:
+                        # N exited mid-run: this run saw a partly-idle
+                        # host — exclude it from the score
+                        discarded_tail += 1
+                        break
+                    if n_proc.poll() is not None:
+                        break
+                    strip_tiers(out4)
+                    p4 = launch_job(
+                        pyfiles, corpus, out4, 4 * args.n,
+                        local_dir=os.path.join(
+                            args.workdir, f"spark_local_{4 * args.n}"
+                        ),
+                        cpu_offset=offsets[4 * args.n], resume=True,
+                        warmup=True,
+                        cluster_url=(
+                            clusters[4 * args.n].url
+                            if args.cluster == "standalone"
+                            else None
+                        ),
+                        driver_cpus=driver_cpus[4 * args.n],
+                        extra_confs=args.conf,
+                        exec_cores=args.exec_cores,
+                    )
+                rN_res = collect_job(n_proc, args.n)
+                runs4.sort(key=lambda x: x["rollup_points_per_sec"])
+                r = {args.n: rN_res, 4 * args.n: runs4[len(runs4) // 2]}
+                balanced_runs_per_rep.append(
+                    [x["rollup_points_per_sec"] for x in runs4]
+                )
+                print(
+                    f"rep {rep} balanced 4N runs (contained={len(runs4)}, "
+                    f"tail discarded={discarded_tail}): "
+                    f"{[x['rollup_points_per_sec'] for x in runs4]}",
+                    file=sys.stderr,
+                )
+            else:
+                r = {cpus: collect_job(p, cpus) for cpus, p in procs.items()}
             eff = (
                 r[4 * args.n]["rollup_points_per_sec"]
                 / r[args.n]["rollup_points_per_sec"]
@@ -515,6 +586,10 @@ def main():
         "efficiency_total": round(eff_total, 3),
         "tier_efficiency": tier_eff,
         "per_rep_efficiencies": all_effs,
+        "balanced": args.balanced or None,
+        "balanced_4n_runs_per_rep": (
+            balanced_runs_per_rep if args.balanced else None
+        ),
         "tiers_N": rN["tiers"],
         "tiers_4N": r4N["tiers"],
     }
@@ -609,6 +684,19 @@ def write_report(summary, rN, r4N, args):
         "also lets GC/IO threads overflow beyond its nominal cores).",
         f"{args.reps} paired repetitions; the median-efficiency pair is",
         f"reported (per-rep rollup efficiencies: {summary['per_rep_efficiencies']}).",
+        *(
+            [
+                "BALANCED pairing: the 4N side's resume-run is relaunched",
+                "back-to-back until the N job exits, so BOTH clusters stay",
+                "busy for the N side's entire window (one run per side",
+                "leaves the host two-thirds idle during the N measurement,",
+                "biasing efficiency down); the 4N side scores the median of",
+                "its fully-contained runs "
+                f"(per rep: {summary['balanced_4n_runs_per_rep']}).",
+            ]
+            if summary.get("balanced")
+            else []
+        ),
         *(
             [
                 "Phase mode: rollup-only — the identical prepared series was",
