@@ -607,7 +607,17 @@ def main():
         name = "scaling_full.json"
     else:
         name = "scaling.json"
-    with open(os.path.join(REPO, "BENCH", name), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", name)
+    if name == "scaling.json" and os.path.exists(out_path):
+        # a rollup-phase rerun must not clobber the prepare evidence a
+        # prior full-phase run patched in (same no-clobber rule in reverse)
+        with open(out_path) as f:
+            prev = json.load(f)
+        if summary.get("efficiency_prepare") is None:
+            for k in ("efficiency_prepare", "prepare_evidence"):
+                if prev.get(k) is not None:
+                    summary[k] = prev[k]
+    with open(out_path, "w") as f:
         json.dump(summary, f)
     headline = os.path.join(REPO, "BENCH", "scaling.json")
     if name == "scaling_full.json" and os.path.exists(headline):
