@@ -46,20 +46,45 @@ class Trimmer:
             params={"columns": self.columns, "rows": self.rows},
         )
 
+    _BUCKETABLE_PREFIXES = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "timestamp", "date",
+    )
+
     def transform(self, df: DataFrame) -> DataFrame:
         out = df
         drop_names = [df.columns[i] for i in self.columns] + self.column_names
         if drop_names:
             out = out.drop(*drop_names)
         if self.rows:
-            w = Window.orderBy(self.order_col, *self.tiebreak_cols)
-            # reference row indices are 0-based (pandas iloc); row_number is 1-based
-            targets = [r + 1 for r in self.rows]
-            out = (
-                out.withColumn("__rn", F.row_number().over(w))
-                .filter(~F.col("__rn").isin(targets))
-                .drop("__rn")
-            )
+            order_dtype = dict(df.dtypes).get(self.order_col, "")
+            if order_dtype.startswith(self._BUCKETABLE_PREFIXES):
+                # scale path: distributed 0-based positions (value-bucketed
+                # two-pass, see operators/positions.py) — no single-partition
+                # window even on a 10^9-row table
+                from preprocessor_spark.operators.positions import (
+                    grouped_positions,
+                )
+
+                positioned = grouped_positions(
+                    out, [self.order_col, *self.tiebreak_cols], pos_col="__rn"
+                )
+                # reference row indices are 0-based (pandas iloc), as is __pos
+                out = positioned.filter(
+                    ~F.col("__rn").isin(list(self.rows))
+                ).drop("__rn")
+            else:
+                # non-bucketable order key (e.g. string ids): legacy-shape
+                # fallback, single ordered window — fine at the small sizes
+                # this positional API targets; time-keyed tables take the
+                # branch above
+                w = Window.orderBy(self.order_col, *self.tiebreak_cols)
+                targets = [r + 1 for r in self.rows]
+                out = (
+                    out.withColumn("__rn", F.row_number().over(w))
+                    .filter(~F.col("__rn").isin(targets))
+                    .drop("__rn")
+                )
         return out
 
     @staticmethod

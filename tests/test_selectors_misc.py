@@ -86,6 +86,43 @@ def test_trimmer_positional_and_columns(spark):
     assert list(out["v"]) == [1, 2, 3, 4, 6, 7, 8, 9]
 
 
+def test_trimmer_positional_distributed_no_global_window(spark):
+    """The time-keyed positional drop must take the distributed-positions
+    path: same rows as the ordered-window fallback, and NO empty-partition
+    Window (single-partition sort) anywhere in the plan."""
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2021-03-01", periods=n, freq="min"),
+            "v": RNG.normal(0, 1, n),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    rows = [0, 7, 123, 499]
+    t = Trimmer(rows=rows, order_col="ts")
+    out = t.transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # grouped_positions windows BY the value bucket; its Window node prints
+    # three top-level bracket groups ("[exprs], [partition], [order]") while
+    # a global window prints only two ("[exprs], [order]") — assert every
+    # Window node in the plan carries a partition spec
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, f"global window in plan: {line}"
+    kept = out.toPandas().sort_values("ts")["v"].to_numpy()
+    expected = pdf.drop(index=rows).sort_values("ts")["v"].to_numpy()
+    assert np.allclose(kept, expected)
+
+
+def test_trimmer_positional_string_order_fallback(spark):
+    """Non-bucketable (string) order keys take the ordered-window fallback
+    and still drop exactly the requested 0-based positions."""
+    pdf = pd.DataFrame({"k": [f"id_{i:03d}" for i in range(10)], "v": range(10)})
+    df = spark.createDataFrame(pdf)
+    out = Trimmer(rows=[0, 5], order_col="k").transform(df).toPandas()
+    assert sorted(out["v"]) == [1, 2, 3, 4, 6, 7, 8, 9]
+
+
 def test_pip_mae_diagnostics(spark):
     from preprocessor_spark.operators.normalizer import Normalizer
 
