@@ -40,6 +40,7 @@ class FeatureSelector:
         keep_cols: list[str] | None = None,  # always-kept keys (time, ids)
         lag_corr_threshold: float = 0.05,
         max_lag: int = 10,
+        lag_chunk_rows: int = 1_000_000,  # chunk size of the lag window
     ):
         self.method = method
         self.indices = indices or []
@@ -47,6 +48,7 @@ class FeatureSelector:
         self.keep_cols = keep_cols or []
         self.lag_corr_threshold = lag_corr_threshold
         self.max_lag = max_lag
+        self.lag_chunk_rows = lag_chunk_rows
 
     def fit(self, df: DataFrame) -> StageParams:
         if self.method in ("select_single", "select_multi"):
@@ -71,7 +73,14 @@ class FeatureSelector:
         """Keep numeric columns with |corr(x, lag_k(x))| > threshold for any
         k ≤ max_lag (SURVEY §2.5 W12 screen). One window pass builds all lags,
         one aggregate computes every corr — two shuffles total regardless of
-        column/lag count."""
+        column/lag count.
+
+        The lag window is CHUNKED (``chunked_assignment``, carry = max_lag
+        rows), never a global single-partition sort: each chunk head reads
+        its true predecessors from the carried tail of the previous chunk,
+        so the lag pairs — and therefore every corr — are exactly those of
+        ``lag() OVER (ORDER BY order)`` at any parallelism. Non-bucketable
+        (string) order keys fall back to the global window."""
         from pyspark.sql import Window
 
         num = [
@@ -82,15 +91,41 @@ class FeatureSelector:
         if not num:
             return []
         order = self.keep_cols[0] if self.keep_cols else num[0]
-        w = Window.orderBy(order)
-        lagged = df.select(
-            *num,
-            *[
-                F.lag(c, k).over(w).alias(f"__{c}_l{k}")
-                for c in num
-                for k in range(1, self.max_lag + 1)
-            ],
-        )
+        order_dtype = dict(df.dtypes)[order]
+        if order_dtype.startswith(
+            ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "decimal", "timestamp", "date")
+        ):
+            from preprocessor_spark.operators.positions import (
+                chunked_assignment,
+            )
+
+            chunked = chunked_assignment(
+                df.select(order, *num) if order not in num else df.select(*num),
+                order,
+                chunk_rows=self.lag_chunk_rows,
+                carry_rows=self.max_lag,
+            )
+            w = Window.partitionBy("__chunk").orderBy(order)
+            lagged = chunked.select(
+                *num,
+                "__aug",
+                *[
+                    F.lag(c, k).over(w).alias(f"__{c}_l{k}")
+                    for c in num
+                    for k in range(1, self.max_lag + 1)
+                ],
+            ).filter(~F.col("__aug"))
+        else:
+            w = Window.orderBy(order)
+            lagged = df.select(
+                *num,
+                *[
+                    F.lag(c, k).over(w).alias(f"__{c}_l{k}")
+                    for c in num
+                    for k in range(1, self.max_lag + 1)
+                ],
+            )
         aggs = [
             F.corr(c, f"__{c}_l{k}").alias(f"{c}__k{k}")
             for c in num

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _encode_lead(df: DataFrame, lead: str):
@@ -107,3 +108,111 @@ def grouped_positions_and_totals(
         .drop("__bkt", "__off")
     )
     return positioned, totals
+
+
+def chunked_assignment(
+    df: DataFrame,
+    order_col: str,
+    series_cols: list[str] | None = None,
+    chunk_rows: int = 1_000_000,
+    carry_rows: int = 0,
+) -> DataFrame:
+    """Assign each row of a (series, time)-ordered table to a ~chunk_rows-row
+    chunk, optionally feeding each chunk's trailing ``carry_rows`` rows to the
+    NEXT chunk as flagged duplicates — the shared scale machinery behind every
+    sequential-window operator (MA unbias W1, the ACF lag screen W14): a
+    window partitioned by (series, ``__chunk``) then has parallelism
+    series × chunks instead of being capped at |series|, while carried tails
+    give every chunk head its true trailing context.
+
+    ONE light aggregate (per-(series, value-bucket) counts — |series| ×
+    |buckets| rows, collected driver-side) packs contiguous value-range
+    buckets of the ``order_col`` ENCODING into ≥chunk_rows chunks; rows get
+    their chunk id via a broadcast join, so no full-width positions shuffle
+    is spent deriving chunk ids. Bucket boundaries are pure value cuts on the
+    order key, so cross-chunk order matches ``ORDER BY order_col`` exactly,
+    including at gaps; equal key values always share a bucket (floor of the
+    same encoding), so ties never straddle chunks.
+
+    Returns ``df`` plus two columns: ``__chunk`` (long) and ``__aug`` (bool —
+    True on carried tail duplicates, which consumers must drop AFTER their
+    window: ``out.filter(~F.col("__aug")).drop("__chunk", "__aug")``).
+    """
+    series_cols = list(series_cols or [])
+    spark = df.sparkSession
+    enc = _encode_lead(df, order_col)
+    lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
+    if lo is None:
+        return df.withColumn("__chunk", F.lit(0).cast("long")).withColumn(
+            "__aug", F.lit(False)
+        )
+    cores = spark.sparkContext.defaultParallelism
+    n_buckets = max(cores * 16, 64)
+    span = max(float(hi) - float(lo), 1.0)
+    bucket = F.least(
+        F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    counts = df.groupBy(*series_cols, bucket.alias("__bkt")).count().collect()
+    # every chunk must hold at least carry_rows rows so a successor's head
+    # context is fully covered by ONE predecessor's tail
+    chunk_rows = max(chunk_rows, carry_rows, 1)
+    by_series: dict[tuple, list] = {}
+    for r in counts:
+        by_series.setdefault(tuple(r[c] for c in series_cols), []).append(
+            (r["__bkt"], r["count"])
+        )
+    assign_rows = []  # (*series, bkt, chunk, feeds-next-chunk tail flag)
+    for key, bl in by_series.items():
+        bl.sort()
+        chunks: list[list] = []
+        cur_ch: list = []
+        acc = 0
+        for bkt, cnt in bl:
+            cur_ch.append((bkt, cnt))
+            acc += cnt
+            if acc >= chunk_rows:
+                chunks.append(cur_ch)
+                cur_ch, acc = [], 0
+        if cur_ch:
+            if chunks:
+                chunks[-1].extend(cur_ch)  # fold remainder into the last
+            else:
+                chunks.append(cur_ch)
+        for ci, ch in enumerate(chunks):
+            # minimal trailing-bucket suffix covering ≥ carry_rows rows
+            tail: set = set()
+            need = carry_rows
+            for bkt, cnt in reversed(ch):
+                if need <= 0:
+                    break
+                tail.add(bkt)
+                need -= cnt
+            is_last = ci == len(chunks) - 1
+            for bkt, _cnt in ch:
+                assign_rows.append(
+                    (*key, bkt, ci, (bkt in tail) and not is_last)
+                )
+    aschema = T.StructType(
+        [df.schema[c] for c in series_cols]
+        + [
+            T.StructField("__bkt", T.IntegerType()),
+            T.StructField("__chunk", T.LongType()),
+            T.StructField("__tail", T.BooleanType()),
+        ]
+    )
+    adf = spark.createDataFrame(assign_rows, aschema)
+    with_b = df.withColumn("__bkt", bucket)
+    cond = [with_b["__bkt"] == adf["__bkt"]] + [
+        with_b[c].eqNullSafe(adf[c]) for c in series_cols
+    ]
+    joined = with_b.join(F.broadcast(adf), cond).drop(
+        adf["__bkt"], *[adf[c] for c in series_cols]
+    )
+    cur = joined.withColumn("__aug", F.lit(False))
+    tails = (
+        joined.filter(F.col("__tail"))
+        .withColumn("__chunk", F.col("__chunk") + 1)
+        .withColumn("__aug", F.lit(True))
+    )
+    return cur.unionByName(tails).drop("__bkt", "__tail")

@@ -90,99 +90,25 @@ class Unbiaser:
         being capped at |series| (a per-source window serializes each source
         into one task — the bottleneck at corpus scale).
 
-        ONE full-width shuffle. Chunks are built from driver-side bucket
-        packing, not from dense row positions (the previous scheme ran a
-        positions window — a second full shuffle — just to derive chunk
-        ids): a light per-(series, time-bucket) count aggregate lets the
-        driver pack contiguous value-range buckets into ≥chunk_rows chunks;
-        rows get their chunk id via a broadcast join. Each chunk's minimal
-        trailing-bucket suffix covering ≥ w−1 rows is ALSO fed (flagged) to
-        the next chunk, so every chunk head sees its true trailing window;
-        flagged rows are dropped after the window. Bucket boundaries are
-        pure value cuts on the time key, so cross-bucket order matches
+        ONE full-width shuffle: chunk ids come from
+        :func:`preprocessor_spark.operators.positions.chunked_assignment`
+        (driver-side bucket packing + broadcast join, carry = w−1 rows so
+        every chunk head sees its true trailing window); carried duplicates
+        are dropped after the window. Cross-bucket order matches
         (time, tiebreaks) exactly — the semantics of :meth:`_ma` including
         at time gaps."""
-        from pyspark.sql import types as T
-
-        from preprocessor_spark.operators.positions import _encode_lead
+        from preprocessor_spark.operators.positions import chunked_assignment
 
         w_size = self.window_size
         vals = self._values(df)
         scols = list(self.series_cols)
-        spark = df.sparkSession
-        enc = _encode_lead(df, self.time_col)
-        lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
-        if lo is None:
-            return df
-        cores = spark.sparkContext.defaultParallelism
-        n_buckets = max(cores * 16, 64)
-        span = max(float(hi) - float(lo), 1.0)
-        bucket = F.least(
-            F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
-            F.lit(n_buckets - 1),
-        ).cast("int")
-        counts = df.groupBy(*scols, bucket.alias("__bkt")).count().collect()
-        # every chunk must hold at least w−1 rows so its successor's head
-        # window is fully covered by ONE predecessor's tail
-        chunk_rows = max(self.chunk_rows, w_size - 1)
-        by_series: dict[tuple, list] = {}
-        for r in counts:
-            by_series.setdefault(tuple(r[c] for c in scols), []).append(
-                (r["__bkt"], r["count"])
-            )
-        assign_rows = []  # (*series, bkt, chunk, feeds-next-chunk tail flag)
-        for key, bl in by_series.items():
-            bl.sort()
-            chunks: list[list] = []
-            cur_ch: list = []
-            acc = 0
-            for bkt, cnt in bl:
-                cur_ch.append((bkt, cnt))
-                acc += cnt
-                if acc >= chunk_rows:
-                    chunks.append(cur_ch)
-                    cur_ch, acc = [], 0
-            if cur_ch:
-                if chunks:
-                    chunks[-1].extend(cur_ch)  # fold remainder into the last
-                else:
-                    chunks.append(cur_ch)
-            for ci, ch in enumerate(chunks):
-                tail: set = set()
-                need = w_size - 1
-                for bkt, cnt in reversed(ch):
-                    if need <= 0:
-                        break
-                    tail.add(bkt)
-                    need -= cnt
-                is_last = ci == len(chunks) - 1
-                for bkt, _cnt in ch:
-                    assign_rows.append(
-                        (*key, bkt, ci, (bkt in tail) and not is_last)
-                    )
-        aschema = T.StructType(
-            [df.schema[c] for c in scols]
-            + [
-                T.StructField("__bkt", T.IntegerType()),
-                T.StructField("__chunk", T.LongType()),
-                T.StructField("__tail", T.BooleanType()),
-            ]
+        unioned = chunked_assignment(
+            df,
+            self.time_col,
+            series_cols=scols,
+            chunk_rows=self.chunk_rows,
+            carry_rows=w_size - 1,
         )
-        adf = spark.createDataFrame(assign_rows, aschema)
-        with_b = df.withColumn("__bkt", bucket)
-        cond = [with_b["__bkt"] == adf["__bkt"]] + [
-            with_b[c].eqNullSafe(adf[c]) for c in scols
-        ]
-        joined = with_b.join(F.broadcast(adf), cond).drop(
-            adf["__bkt"], *[adf[c] for c in scols]
-        )
-        cur = joined.withColumn("__aug", F.lit(False))
-        tails = (
-            joined.filter(F.col("__tail"))
-            .withColumn("__chunk", F.col("__chunk") + 1)
-            .withColumn("__aug", F.lit(True))
-        )
-        unioned = cur.unionByName(tails)
         w = (
             Window.partitionBy(*scols, "__chunk")
             .orderBy(self.time_col, *self.tiebreak_cols)
@@ -191,9 +117,7 @@ class Unbiaser:
         out = unioned
         for c in vals:
             out = out.withColumn(c, F.col(c) - F.avg(c).over(w))
-        return out.filter(~F.col("__aug")).drop(
-            "__bkt", "__chunk", "__tail", "__aug"
-        )
+        return out.filter(~F.col("__aug")).drop("__chunk", "__aug")
 
     def _ema(self, df: DataFrame) -> DataFrame:
         if self.chunk_rows:

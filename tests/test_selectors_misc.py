@@ -67,6 +67,39 @@ def test_lag_corr_screen(spark):
     assert "white" not in params.params["selected_features"]
 
 
+def test_lag_corr_chunked_matches_global(spark):
+    """The chunked lag window (multiple chunks forced via tiny
+    lag_chunk_rows) must select exactly what pandas' global autocorr
+    math does — the carried tails make chunk-boundary lag pairs exact —
+    and its plan must contain no empty-partition Window."""
+    n = 600
+    ts = pd.date_range("2020-01-01", periods=n, freq="h")
+    trending = np.cumsum(RNG.normal(0, 1, n))
+    white = RNG.normal(0, 1, n)
+    pdf = pd.DataFrame({"ts": ts, "trending": trending, "white": white})
+    df = spark.createDataFrame(pdf).repartition(8)
+    max_lag = 5
+    fs = FeatureSelector(
+        method="lag_corr",
+        keep_cols=["ts"],
+        lag_corr_threshold=0.5,
+        max_lag=max_lag,
+        lag_chunk_rows=100,  # 600 rows → ≥6 chunks: boundaries exercised
+    )
+    sel = set(fs.fit(df).params["selected_features"])
+    # pandas oracle: same |corr(x, lag_k x)| screen on the globally
+    # ordered series
+    expected = set()
+    spdf = pdf.sort_values("ts")
+    for c in ("trending", "white"):
+        if any(
+            abs(spdf[c].corr(spdf[c].shift(k))) > 0.5
+            for k in range(1, max_lag + 1)
+        ):
+            expected.add(c)
+    assert sel == expected == {"trending"}
+
+
 def test_require_columns(spark):
     df = spark.createDataFrame(pd.DataFrame({"b": [1], "a": [2], "c": [3]}))
     out = require_columns(df, ["a", "b"], strict=False)
