@@ -158,24 +158,52 @@ def mutual_information(
             expr = F.when(F.col(c) <= F.lit(e[i]), i).otherwise(expr)
         return expr
 
+    # ONE scan per ≤16-feature group (not one per feature): every feature's
+    # bin id is computed in the same projection and exploded to
+    # (feature, xb, yb) rows. The explode never reaches the wire — the
+    # groupBy's map-side partial aggregate collapses each task to
+    # ≤ |features|·bins² rows before the shuffle, so the fused shape costs
+    # one table scan + a tiny shuffle regardless of feature count. Groups
+    # of 16 keep the stacked when-ladder bin expressions well inside
+    # janino's 64 KB generated-method limit (the codegen cliff the pair
+    # scorers hit at round 5).
     results = []
     yb = bin_expr(label_col).alias("__yb")
-    for c in feature_cols:
+    for g in range(0, len(feature_cols), 16):
+        group = feature_cols[g : g + 16]
+        pairs = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("__f"),
+                            bin_expr(c).cast("int").alias("__xb"),
+                        )
+                        for c in group
+                    ]
+                )
+            ).alias("__p"),
+            yb,
+        )
         joint = (
-            df.select(bin_expr(c).alias("__xb"), yb)
-            .groupBy("__xb", "__yb")
+            pairs.select("__p.__f", "__p.__xb", "__yb")
+            .groupBy("__f", "__xb", "__yb")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        total = F.sum("n").over(Window.partitionBy())
-        px = F.sum("n").over(Window.partitionBy("__xb"))
-        py = F.sum("n").over(Window.partitionBy("__yb"))
-        mi = joint.select(
-            (
-                (F.col("n") / total)
-                * F.log2((F.col("n") * total) / (px * py))
-            ).alias("term")
-        ).agg(F.round(F.sum("term"), 6).alias("mi_bits"))
-        results.append(mi.select(F.lit(c).alias("feature"), "mi_bits"))
+        total = F.sum("n").over(Window.partitionBy("__f"))
+        px = F.sum("n").over(Window.partitionBy("__f", "__xb"))
+        py = F.sum("n").over(Window.partitionBy("__f", "__yb"))
+        results.append(
+            joint.select(
+                F.col("__f").alias("feature"),
+                (
+                    (F.col("n") / total)
+                    * F.log2((F.col("n") * total) / (px * py))
+                ).alias("term"),
+            )
+            .groupBy("feature")
+            .agg(F.round(F.sum("term"), 6).alias("mi_bits"))
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
