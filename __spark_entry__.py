@@ -462,10 +462,13 @@ def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     e = _t(spark, sf, "embeddings")
-    q = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None or qrow[0] is None:
+        # no (or null) query vector: an empty top-k, not a driver TypeError
+        return e.select(
+            "vec_id", F.lit(0.0).alias("cos_sim")
+        ).limit(0)
+    q = [float(x) for x in qrow[0]]
     # ||q|| precomputed with the same left-fold order as the Spark/oracle
     # expressions (IEEE-754 ops are deterministic given order), so
     # dot/(norm_e * lit(norm_q)) is bit-identical to the joined form

@@ -207,7 +207,16 @@ def mutual_information(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out.orderBy(F.desc("mi_bits"))
+    # contract: one row per requested feature even on an empty/degenerate
+    # input (the per-feature global .agg() shape always produced a row with
+    # null mi_bits; the fused groupBy would silently drop such features)
+    spark = df.sparkSession
+    catalog = spark.createDataFrame(
+        [(c,) for c in feature_cols], "feature string"
+    )
+    return catalog.join(F.broadcast(out), "feature", "left").orderBy(
+        F.desc("mi_bits")
+    )
 
 
 def mutual_info_select(

@@ -661,7 +661,16 @@ def embedding_near_dups(
     keys = embedding_bucket_keys(
         df, emb_col, id_col, num_planes, seed, dim, num_tables
     )
-    if dim is not None:
+    from preprocessor_spark.functions.similarity import LSH_INLINE_TERM_LIMIT
+
+    # past the inline term budget the unrolled per-pair dot would hit the
+    # same janino 64 KB cliff the signature stage routes around via Arrow:
+    # fall back to the HOF cosine over once-cast double arrays (interpreted,
+    # but bucket-pruned — it only scores candidate pairs)
+    use_inline = dim is not None and dim <= LSH_INLINE_TERM_LIMIT
+    if not use_inline and dim is not None:
+        keys = keys.withColumn(emb_col, F.col(emb_col).cast("array<double>"))
+    if use_inline:
         # Precompute each side's L2 norm ONCE per key row BELOW the join
         # (8 bytes of extra shuffle payload). Fusing the full 3x-unrolled
         # cosine_inline (dot + both norms = 192 CAST(get) terms) into the
@@ -676,7 +685,7 @@ def embedding_near_dups(
     cos = (
         dot_inline(f"l.{emb_col}", f"r.{emb_col}", dim)
         / (F.col("l.__nrm") * F.col("r.__nrm"))
-        if dim is not None
+        if use_inline
         else cosine(la, ra)
     )
     cand = l.join(

@@ -421,9 +421,19 @@ def lsh_topk(
     dim = len(query)
     qbucket = py_lsh_bucket(list(query), num_planes, seed)
     q_norm = math.sqrt(_py_fold_dot(query, query))
-    cos = dot_query_inline(emb_col, list(query)) / (
-        norm_inline(emb_col, dim) * F.lit(q_norm)
-    )
+    if dim <= LSH_INLINE_TERM_LIMIT:
+        cos = dot_query_inline(emb_col, list(query)) / (
+            norm_inline(emb_col, dim) * F.lit(q_norm)
+        )
+    else:
+        # inline scoring past the term budget hits the janino 64 KB cliff
+        # (doomed compile, then whole-stage interpreted fallback): score via
+        # the HOF dot against ONE array literal instead — same left-fold
+        # summation order over double-cast elements, so values match the
+        # inline form bit-for-bit; runs only on the bucket-pruned subset
+        qlit = F.array(*[F.lit(float(x)) for x in query])
+        embd = F.col(emb_col).cast("array<double>")
+        cos = dot(embd, qlit) / (norm(embd) * F.lit(q_norm))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     sig = (

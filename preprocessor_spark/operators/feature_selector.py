@@ -91,14 +91,13 @@ class FeatureSelector:
         if not num:
             return []
         order = self.keep_cols[0] if self.keep_cols else num[0]
+        from preprocessor_spark.operators.positions import (
+            BUCKETABLE_DTYPE_PREFIXES,
+            chunked_assignment,
+        )
+
         order_dtype = dict(df.dtypes)[order]
-        if order_dtype.startswith(
-            ("tinyint", "smallint", "int", "bigint", "float", "double",
-             "decimal", "timestamp", "date")
-        ):
-            from preprocessor_spark.operators.positions import (
-                chunked_assignment,
-            )
+        if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
 
             chunked = chunked_assignment(
                 df.select(order, *num) if order not in num else df.select(*num),

@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# dtypes whose values _encode_lead can turn into a bucketable double —
+# the gate callers (Trimmer positional drops, the ACF lag screen) use to
+# choose between this machinery and a single-partition ordered window
+BUCKETABLE_DTYPE_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "timestamp", "date",
+)
+
+
 def _encode_lead(df: DataFrame, lead: str):
     dtype = dict(df.dtypes)[lead]
     if dtype.startswith("timestamp"):
@@ -61,14 +70,25 @@ def grouped_positions_and_totals(
     enc = _encode_lead(df, lead)
     lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
     if lo is None:
-        return df.withColumn(pos_col, F.lit(0).cast("long")), {(): 0}
+        # no non-null keys: empty table (harmless), or every key null —
+        # fall through with a degenerate [0,1) range so ALL rows take the
+        # null branch below and still receive DENSE, DISTINCT positions
+        # (an early "every position = 0" return made a positional filter
+        # like rows=[0] silently drop the whole table)
+        lo, hi = 0.0, 1.0
     n_buckets = max(
         df.sparkSession.sparkContext.defaultParallelism * buckets_per_core, 8
     )
     span = max(float(hi) - float(lo), 1.0)
-    bucket = F.least(
-        F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
-        F.lit(n_buckets - 1),
+    # null keys bucket BEFORE every value bucket (-1): ORDER BY ... ASC is
+    # NULLS FIRST in Spark, and these positions must match that total order
+    # (F.least would otherwise skip the null operand and send null keys to
+    # the LAST bucket — the opposite end)
+    bucket = F.when(enc.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
+            F.lit(n_buckets - 1),
+        )
     ).cast("int")
     with_b = df.withColumn("__bkt", bucket)
     counts = (
@@ -143,15 +163,20 @@ def chunked_assignment(
     enc = _encode_lead(df, order_col)
     lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
     if lo is None:
-        return df.withColumn("__chunk", F.lit(0).cast("long")).withColumn(
-            "__aug", F.lit(False)
-        )
+        # empty table or all-null keys: degenerate range; the null branch
+        # of the bucket expression covers every row (see grouped_positions)
+        lo, hi = 0.0, 1.0
     cores = spark.sparkContext.defaultParallelism
     n_buckets = max(cores * 16, 64)
     span = max(float(hi) - float(lo), 1.0)
-    bucket = F.least(
-        F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
-        F.lit(n_buckets - 1),
+    # null keys bucket FIRST (-1), matching ORDER BY ASC NULLS FIRST — the
+    # consumers' chunk windows order by the same key, so carried tails and
+    # lag pairs stay exact when the key column contains nulls
+    bucket = F.when(enc.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
+            F.lit(n_buckets - 1),
+        )
     ).cast("int")
     counts = df.groupBy(*series_cols, bucket.alias("__bkt")).count().collect()
     # every chunk must hold at least carry_rows rows so a successor's head

@@ -46,19 +46,18 @@ class Trimmer:
             params={"columns": self.columns, "rows": self.rows},
         )
 
-    _BUCKETABLE_PREFIXES = (
-        "tinyint", "smallint", "int", "bigint", "float", "double",
-        "decimal", "timestamp", "date",
-    )
-
     def transform(self, df: DataFrame) -> DataFrame:
         out = df
         drop_names = [df.columns[i] for i in self.columns] + self.column_names
         if drop_names:
             out = out.drop(*drop_names)
         if self.rows:
+            from preprocessor_spark.operators.positions import (
+                BUCKETABLE_DTYPE_PREFIXES,
+            )
+
             order_dtype = dict(df.dtypes).get(self.order_col, "")
-            if order_dtype.startswith(self._BUCKETABLE_PREFIXES):
+            if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
                 # scale path: distributed 0-based positions (value-bucketed
                 # two-pass, see operators/positions.py) — no single-partition
                 # window even on a 10^9-row table

@@ -147,6 +147,42 @@ def test_trimmer_positional_distributed_no_global_window(spark):
     assert np.allclose(kept, expected)
 
 
+def test_trimmer_positional_null_order_keys(spark):
+    """NULL order keys must position FIRST (Spark ORDER BY ASC is NULLS
+    FIRST) on the distributed path, and an all-null key column must still
+    yield dense distinct positions — rows=[0] drops exactly one row, not
+    the whole table."""
+    # mixed nulls: the two null-ts rows occupy positions 0 and 1
+    pdf = pd.DataFrame(
+        {
+            "ts": [pd.NaT, pd.NaT] + list(pd.date_range("2022-01-01", periods=6, freq="h")),
+            "v": range(8),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = Trimmer(rows=[0, 1], order_col="ts").transform(df).toPandas()
+    assert len(out) == 6
+    assert out["ts"].notna().all()  # exactly the null-key rows dropped
+    # all-null keys: still one distinct position per row
+    pdf2 = pd.DataFrame({"ts": [pd.NaT] * 5, "v": range(5)})
+    out2 = Trimmer(rows=[0], order_col="ts").transform(
+        spark.createDataFrame(pdf2)
+    )
+    assert out2.count() == 4
+
+
+def test_mutual_information_keeps_all_features_on_empty(spark):
+    """Fused MI must keep the old per-feature contract: one output row per
+    requested feature (null mi_bits) even when the input is empty."""
+    from preprocessor_spark.functions.analysis import mutual_information
+
+    pdf = pd.DataFrame({"a": [1.0], "b": [2.0], "y": [3.0]})
+    df = spark.createDataFrame(pdf).filter(F.lit(False))
+    out = mutual_information(df, ["a", "b"], "y").toPandas()
+    assert sorted(out["feature"]) == ["a", "b"]
+    assert out["mi_bits"].isna().all()
+
+
 def test_trimmer_positional_string_order_fallback(spark):
     """Non-bucketable (string) order keys take the ordered-window fallback
     and still drop exactly the requested 0-based positions."""

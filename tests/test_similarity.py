@@ -242,3 +242,38 @@ def test_embedding_bucket_keys_backend_dispatch(spark, emb_df):
         joined.filter("`0` <> bv0 OR `1` <> bv1").count() == 0
         and joined.count() == N
     )
+
+
+def test_large_dim_scoring_avoids_inline_codegen(spark):
+    """Past LSH_INLINE_TERM_LIMIT both pair verification and query scoring
+    must take the HOF path (no dim-term unrolled dot in the plan), and
+    still return correct neighbors: identical vectors score cosine 1."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from preprocessor_spark.functions.dedup import embedding_near_dups
+    from preprocessor_spark.functions.similarity import (
+        LSH_INLINE_TERM_LIMIT,
+        lsh_topk,
+    )
+
+    dim = LSH_INLINE_TERM_LIMIT + 64
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, dim)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base]),  # exact duplicate of 0
+        (2, [float(x) for x in rng.normal(0, 1, dim)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    pairs = embedding_near_dups(
+        df, "embedding", "vec_id", num_planes=4, threshold=0.99, dim=dim
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+    topk = lsh_topk(
+        df, [float(x) for x in base], k=2, num_planes=4
+    ).collect()
+    assert topk[0]["vec_id"] in (0, 1)
+    assert abs(topk[0]["cosine"] - 1.0) < 1e-6

@@ -324,6 +324,12 @@ def test_png_codec_roundtrip_and_filters():
         mc.decode_image_any(mc.encode_png(rgba)), rgba[:, :, :3]
     )
 
+    # truncated chunk framing (length field past the buffer) must surface
+    # as the documented ValueError, not a raw struct.error
+    trunc = bytes(png[:16])
+    with pt.raises(ValueError):
+        mc.decode_image_any(trunc)
+
 
 def test_multimodal_real_resize_and_frames(spark):
     """Real pixel resize re-encodes decodable BMPs at the target box; real

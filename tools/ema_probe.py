@@ -52,7 +52,8 @@ def main():
         walls.append(round(time.perf_counter() - t0, 3))
         print(f"rep {i}: {walls[-1]} s ({n} rows)", flush=True)
 
-    srt = sorted(walls[1:])  # drop rep 0: cold plan/JIT, like bench's
+    # drop rep 0 (cold plan/JIT) when there is more than one rep
+    srt = sorted(walls[1:] if len(walls) > 1 else walls)
     # position in the suite varies — steady-state reps are the comparable set
     median = srt[len(srt) // 2]
     out = {
