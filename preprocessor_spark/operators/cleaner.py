@@ -130,11 +130,18 @@ class Cleaner:
 
 
 def dense_spine(
-    df: DataFrame, time_col: str, period_minutes: int, series_cols: list[str]
+    df: DataFrame,
+    time_col: str,
+    period_minutes: int | None,
+    series_cols: list[str],
+    period_seconds: int | None = None,
 ) -> DataFrame:
     """One row per (series, expected timestamp): explode
     sequence(min(ts), max(ts), period). The pre-explode aggregate is one row
-    per series, so this never shuffles the fact table."""
+    per series, so this never shuffles the fact table. ``period_seconds``
+    takes precedence when given (sub-minute tiers)."""
+    if period_seconds is None:
+        period_seconds = int(period_minutes) * 60
     bounds = df.groupBy(*series_cols).agg(
         F.min(time_col).alias("__t0"), F.max(time_col).alias("__t1")
     )
@@ -144,7 +151,7 @@ def dense_spine(
             F.sequence(
                 F.col("__t0"),
                 F.col("__t1"),
-                F.expr(f"INTERVAL {int(period_minutes)} MINUTE"),
+                F.expr(f"INTERVAL {int(period_seconds)} SECOND"),
             )
         ).alias(time_col),
     )

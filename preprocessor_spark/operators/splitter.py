@@ -161,13 +161,27 @@ class TemporalSplitter:
                 params={"ratios": self.ratios, "boundaries": {}},
             )
         span = max(float(hi) - float(lo), 1.0)
-        bucket = F.least(
-            F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
-            F.lit(n_buckets - 1),
+        # null keys are detectable here for free (F.least would silently
+        # bucket them LAST while the within-bucket window ranks them FIRST
+        # — corrupted edge positions) but they cannot be expressed in the
+        # time-range predicates this fit exists to produce: fail fast
+        bucket = F.when(enc.isNull(), F.lit(-1)).otherwise(
+            F.least(
+                F.floor((enc - F.lit(float(lo))) / F.lit(span / n_buckets)),
+                F.lit(n_buckets - 1),
+            )
         ).cast("int")
         counts = (
             df.groupBy(bucket.alias("__bkt")).count().orderBy("__bkt").collect()
         )
+        if counts and counts[0]["__bkt"] == -1:
+            raise ValueError(
+                f"time column '{self.time_col}' contains "
+                f"{counts[0]['count']} null values: time-boundary splits "
+                "are range predicates and cannot route null timestamps — "
+                "drop/fill them first, or use the positional transform() "
+                "path (which places nulls in the first split)"
+            )
         off, acc = {}, 0
         for r in counts:
             off[r["__bkt"]] = acc
@@ -278,8 +292,13 @@ class TemporalSplitter:
             grouped_positions_and_totals,
         )
 
-        n_unique = df.select(strat_col).distinct().count()
-        total = df.count()
+        # one pass for the feasibility guard (was distinct().count() PLUS
+        # count() — two full scans); runs before the positions machinery so
+        # a non-categorical column fails here, not as a driver-side OOM on
+        # the |strata|x|buckets| counts collect
+        n_unique, total = df.agg(
+            F.count_distinct(F.col(strat_col)), F.count(F.lit(1))
+        ).collect()[0]
         if total and n_unique > max(total * 0.1, 1):
             raise ValueError(
                 f"stratify column {strat_col!r} has {n_unique} unique values "
@@ -376,14 +395,19 @@ class TemporalSplitter:
     ) -> DataFrame:
         """Scale path: assign split_id from persisted time boundaries — a pure
         predicate (partition-prunable), no global sort, no row_number."""
+        # boundaries are persisted as strings; cast them to the time
+        # column's ACTUAL type — a hard cast("timestamp") turns an epoch
+        # int/double key like '1700000000' into null, which nulls every
+        # predicate and silently leaves all rows unlabeled
+        dt = df.schema[time_col].dataType.simpleString()
         expr = F.lit(None).cast("string")
         for k in reversed(SPLIT_KEYS):
             if k not in boundaries:
                 continue
             b = boundaries[k]
             expr = F.when(
-                (F.col(time_col) >= F.lit(b["start_time"]).cast("timestamp"))
-                & (F.col(time_col) <= F.lit(b["end_time"]).cast("timestamp")),
+                (F.col(time_col) >= F.lit(b["start_time"]).cast(dt))
+                & (F.col(time_col) <= F.lit(b["end_time"]).cast(dt)),
                 F.lit(k),
             ).otherwise(expr)
         return df.withColumn("split_id", expr)

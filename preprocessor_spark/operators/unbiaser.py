@@ -23,10 +23,52 @@ limitation, SURVEY §7 risk 3).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def ewm_carry_sums(x, mask, beta, cin_num, cin_den):
+    """Unnormalized EWM numerator/denominator with carry-in — THE shared
+    kernel for the chunked batch EMA (:meth:`Unbiaser._ema_chunked`) and the
+    stateful streaming EMA (streaming/stateful.py), so a numerics fix lands
+    in both at once.
+
+    Computed in sub-blocks: the scaled-cumsum trick factors β^t out of the
+    prefix sum, so β^-t must stay finite WITHIN a block. The block size is
+    derived from β (β^-B ≤ e^600, leaving ~e^48 of float64 headroom for the
+    values being summed): strong decay (α→1, β→0) gives small blocks, weak
+    decay (α→0, β→1) allows large ones, capped at 4096. A fixed block of 256
+    would overflow β^-t for β ≲ 0.065 (α ≳ 0.94). Each block restarts the
+    scaling with the previous block's end state as its carry. Vectorized
+    within blocks, ~n/B python iterations."""
+    n = len(x)
+    num = np.empty(n)
+    den = np.empty(n)
+    cn, cd = float(cin_num), float(cin_den)
+    if 0.0 < beta < 1.0:
+        B = max(1, min(4096, int(600.0 / -math.log(beta))))
+    elif beta <= 0.0:
+        B = 1  # β^-t undefined past t=0; degenerate "no memory" case
+    else:
+        B = 4096  # β = 1: no decay, scaling is exact at any block size
+    for s in range(0, n, B):
+        e = min(s + B, n)
+        t = np.arange(e - s, dtype=np.float64)
+        m = mask[s:e]
+        xz = np.where(m, x[s:e], 0.0)
+        inv = beta ** -t
+        scale = beta**t
+        num[s:e] = np.cumsum(xz * inv) * scale + (beta ** (t + 1)) * cn
+        den[s:e] = (
+            np.cumsum(m.astype(np.float64) * inv) * scale
+            + (beta ** (t + 1)) * cd
+        )
+        cn, cd = num[e - 1], den[e - 1]
+    return num, den
 
 
 class Unbiaser:
@@ -253,40 +295,15 @@ class Unbiaser:
         )
         carry_cols = [f.name for f in carry_schema.fields]
 
-        def _ewm_sums(x, mask, cin_num, cin_den):
-            """Unnormalized EWM numerator/denominator with carry-in, computed
-            in 256-element sub-blocks: the scaled-cumsum trick (factor β^t
-            out of the prefix sum) overflows β^-t for big t, so each block
-            restarts the scaling with the previous block's end state as its
-            carry. Vectorized within blocks, ~n/256 python iterations."""
-            n = len(x)
-            num = np.empty(n)
-            den = np.empty(n)
-            cn, cd = cin_num, cin_den
-            B = 256
-            for s in range(0, n, B):
-                e = min(s + B, n)
-                t = np.arange(e - s, dtype=np.float64)
-                m = mask[s:e]
-                xz = np.where(m, x[s:e], 0.0)
-                inv = beta ** -t
-                scale = beta ** t
-                num[s:e] = np.cumsum(xz * inv) * scale + (beta ** (t + 1)) * cn
-                den[s:e] = (
-                    np.cumsum(m.astype(np.float64) * inv) * scale
-                    + (beta ** (t + 1)) * cd
-                )
-                cn, cd = num[e - 1], den[e - 1]
-            return num, den
-
         def apply_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__pos")
             for c in vals:
                 x = pdf[c].to_numpy(np.float64)
                 mask = ~np.isnan(x)
-                num, den = _ewm_sums(
+                num, den = ewm_carry_sums(
                     x,
                     mask,
+                    beta,
                     pdf[f"__cin_num_{c}"].iloc[0],
                     pdf[f"__cin_den_{c}"].iloc[0],
                 )

@@ -108,7 +108,14 @@ def main(argv: list[str] | None = None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     out = args.output
     os.makedirs(out, exist_ok=True)
-    manifest = Manifest(os.path.join(out, "manifest.jsonl"))
+    manifest_path = os.path.join(out, "manifest.jsonl")
+    if not args.resume and os.path.exists(manifest_path):
+        # a FRESH run into an existing output dir must not inherit the old
+        # run's completion marks — they would silently skip every tier
+        # recompute and leave stale tier data inconsistent with the newly
+        # fitted params/prepared series; rotate, don't delete (audit trail)
+        os.replace(manifest_path, manifest_path + ".prev")
+    manifest = Manifest(manifest_path)
 
     t_start = time.perf_counter()
     corpus = spark.read.parquet(args.input)
@@ -240,6 +247,16 @@ def main(argv: list[str] | None = None) -> dict:
     # cannot re-split INPUT partitions — the resulting last-wave stragglers
     # idle most of the cluster (measured 66% core utilization at 4N vs 95%
     # at N: quantization, not bandwidth, capped the scaling efficiency).
+    # remember the session's scan-split settings so the shared-session
+    # finally below can restore them (same contract as shuffle.partitions
+    # and AQE: in-process callers must not inherit this job's tuning)
+    scan_conf_before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
     try:
         waves = int(os.environ.get("SPARK_GRAFT_SCAN_WAVES", "4"))
         total_bytes = sum(
@@ -466,6 +483,10 @@ def main(argv: list[str] | None = None) -> dict:
         cpu1 = _proc_tree_cpu_seconds()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        # the tier tree was the last consumer of this job's scan-split
+        # sizing; hand the shared session back with its own settings
+        for k, v in scan_conf_before.items():
+            spark.conf.set(k, v)
     rollup_cpu_seconds = (
         round(cpu1 - cpu0, 3) if cpu0 is not None and cpu1 is not None else None
     )

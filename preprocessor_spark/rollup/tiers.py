@@ -34,6 +34,35 @@ from pyspark.sql import functions as F
 ALGEBRAIC = ("n_points", "sum_v", "sum_sq", "min_v", "max_v")
 
 
+def algebraic_aggs(value_col, count_nonnull: bool = False):
+    """The five partial-aggregable statistics over raw facts — THE single
+    definition shared by every batch aggregate here and the streaming tier
+    (streaming/rollup_stream.py), so batch/stream interchangeability cannot
+    drift on a missed edit. ``count_nonnull`` counts only non-null values —
+    the spine-fused variants seed every expected bucket with a null-valued
+    row, which must register the bucket without inflating n_points."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return [
+        (F.count(v) if count_nonnull else F.count(F.lit(1))).alias("n_points"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sum_sq"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    ]
+
+
+def algebraic_reaggs():
+    """Fold of already-aggregated tier rows into a coarser tier (sums of
+    sums; min of mins; max of maxes)."""
+    return [
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_v").alias("sum_v"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ]
+
+
 @dataclass(frozen=True)
 class TierSpec:
     name: str  # e.g. "5m", "1h", "1d"
@@ -79,13 +108,7 @@ class RollupTree:
                 *self.series_cols,
                 F.window(self.time_col, tier.duration)["start"].alias("bucket_start"),
             )
-            .agg(
-                F.count(F.lit(1)).alias("n_points"),
-                F.sum(v).alias("sum_v"),
-                F.sum(v * v).alias("sum_sq"),
-                F.min(v).alias("min_v"),
-                F.max(v).alias("max_v"),
-            )
+            .agg(*algebraic_aggs(v))
         )
 
     def base_aggregate_with_spine(
@@ -116,13 +139,7 @@ class RollupTree:
                     "bucket_start"
                 ),
             )
-            .agg(
-                F.count(v).alias("n_points"),
-                F.sum(v).alias("sum_v"),
-                F.sum(v * v).alias("sum_sq"),
-                F.min(v).alias("min_v"),
-                F.max(v).alias("max_v"),
-            )
+            .agg(*algebraic_aggs(v, count_nonnull=True))
         )
 
     def base_aggregate_with_spine_epoch(
@@ -161,13 +178,7 @@ class RollupTree:
                 *self.series_cols,
                 (e - e % F.lit(int(step_s))).alias("bucket_epoch"),
             )
-            .agg(
-                F.count(v).alias("n_points"),
-                F.sum(v).alias("sum_v"),
-                F.sum(v * v).alias("sum_sq"),
-                F.min(v).alias("min_v"),
-                F.max(v).alias("max_v"),
-            )
+            .agg(*algebraic_aggs(v, count_nonnull=True))
             .select(
                 *self.series_cols,
                 F.timestamp_seconds("bucket_epoch").alias("bucket_start"),
@@ -184,13 +195,7 @@ class RollupTree:
                     "bucket_start"
                 ),
             )
-            .agg(
-                F.sum("n_points").alias("n_points"),
-                F.sum("sum_v").alias("sum_v"),
-                F.sum("sum_sq").alias("sum_sq"),
-                F.min("min_v").alias("min_v"),
-                F.max("max_v").alias("max_v"),
-            )
+            .agg(*algebraic_reaggs())
         )
 
     def reaggregate_epoch(self, tier_df: DataFrame, to_step_s: int) -> DataFrame:
@@ -206,13 +211,7 @@ class RollupTree:
                 *self.series_cols,
                 (b - b % F.lit(int(to_step_s))).alias("bucket_epoch"),
             )
-            .agg(
-                F.sum("n_points").alias("n_points"),
-                F.sum("sum_v").alias("sum_v"),
-                F.sum("sum_sq").alias("sum_sq"),
-                F.min("min_v").alias("min_v"),
-                F.max("max_v").alias("max_v"),
-            )
+            .agg(*algebraic_reaggs())
         )
 
     def build_all(self, df: DataFrame, derived: bool = True) -> dict[str, DataFrame]:
@@ -233,8 +232,10 @@ class RollupTree:
         built from a 1-row-per-series bounds aggregate → broadcast join."""
         from preprocessor_spark.operators.cleaner import dense_spine
 
-        minutes = _duration_minutes(tier.duration)
-        spine = dense_spine(tier_df, "bucket_start", minutes, self.series_cols)
+        secs = duration_seconds(tier.duration)
+        spine = dense_spine(
+            tier_df, "bucket_start", None, self.series_cols, period_seconds=secs
+        )
         joined = spine.join(
             tier_df, on=[*self.series_cols, "bucket_start"], how="left"
         )
@@ -273,23 +274,11 @@ class RollupTree:
                 F.window(self.time_col, tier.duration)["start"].alias("bucket_start"),
                 salt,
             )
-            .agg(
-                F.count(F.lit(1)).alias("n_points"),
-                F.sum(v).alias("sum_v"),
-                F.sum(v * v).alias("sum_sq"),
-                F.min(v).alias("min_v"),
-                F.max(v).alias("max_v"),
-            )
+            .agg(*algebraic_aggs(v))
         )
         return (
             partial.groupBy(*self.series_cols, "bucket_start")
-            .agg(
-                F.sum("n_points").alias("n_points"),
-                F.sum("sum_v").alias("sum_v"),
-                F.sum("sum_sq").alias("sum_sq"),
-                F.min("min_v").alias("min_v"),
-                F.max("max_v").alias("max_v"),
-            )
+            .agg(*algebraic_reaggs())
         )
 
 
@@ -331,15 +320,19 @@ class RetentionPolicy:
         return self.cutoff_epoch(tier_name, now_epoch_s)
 
 
-def _duration_minutes(duration: str) -> int:
+def duration_seconds(duration: str) -> int:
+    """Parse an F.window-style duration ('30 seconds', '5 minutes', ...)
+    to seconds — seconds included, so a sub-minute finest tier works in the
+    gap-fill/retention path, not only in the aggregates."""
     qty, unit = duration.split()
     unit = unit.rstrip("s")
-    factor = {"minute": 1, "hour": 60, "day": 1440, "week": 10080}[unit]
-    return int(qty) * factor
-
-
-def duration_seconds(duration: str) -> int:
-    return _duration_minutes(duration) * 60
+    factor = {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+        "week": 604800,
+    }
+    if unit not in factor:
+        raise ValueError(f"unsupported tier duration unit: {duration!r}")
+    return int(qty) * factor[unit]
 
 
 def spine_from_bounds(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from preprocessor_spark.rollup.tiers import TierSpec
+from preprocessor_spark.rollup.tiers import TierSpec, algebraic_aggs
 
 
 def stream_corpus_source(
@@ -51,13 +51,7 @@ def stream_tier(
             *series_cols,
             F.window(time_col, tier.duration)["start"].alias("bucket_start"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.sum(v).alias("sum_v"),
-            F.sum(v * v).alias("sum_sq"),
-            F.min(v).alias("min_v"),
-            F.max(v).alias("max_v"),
-        )
+        .agg(*algebraic_aggs(v))
     )
 
 

@@ -23,28 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-
-def _ewm_sums(x, mask, beta, cin_num, cin_den):
-    """Carry-in exponential sums, bounded-block vectorized (same algebra as
-    Unbiaser._ema_chunked)."""
-    n = len(x)
-    num = np.empty(n)
-    den = np.empty(n)
-    cn, cd = cin_num, cin_den
-    B = 256
-    for s in range(0, n, B):
-        e = min(s + B, n)
-        t = np.arange(e - s, dtype=np.float64)
-        m = mask[s:e]
-        xz = np.where(m, x[s:e], 0.0)
-        inv = beta ** -t
-        scale = beta ** t
-        num[s:e] = np.cumsum(xz * inv) * scale + (beta ** (t + 1)) * cn
-        den[s:e] = (
-            np.cumsum(m.astype(np.float64) * inv) * scale + (beta ** (t + 1)) * cd
-        )
-        cn, cd = num[e - 1], den[e - 1]
-    return num, den
+# ONE kernel for batch and stream: any fix (e.g. the β-derived block size
+# that keeps β^-t finite for α ≳ 0.9) lands in both paths at once
+from preprocessor_spark.operators.unbiaser import ewm_carry_sums
 
 
 def stream_ema_unbias(
@@ -78,29 +59,35 @@ def stream_ema_unbias(
         n_seen = 0
         if state.exists:
             num_c, den_c, n_seen = state.get
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([time_col, id_col])
-            x = pdf[value_col].to_numpy(np.float64)
+        # pdfs is an iterator of ARBITRARILY-SPLIT Arrow chunks of this
+        # group's micro-batch, with no inter-chunk ordering guarantee —
+        # sorting each chunk independently and folding the carry across
+        # them would splice later timestamps before earlier ones whenever
+        # a batch spans >1 chunk. Materialize and sort the batch ONCE
+        # (a group's micro-batch must fit in memory for any per-group sort
+        # anyway — the same bound applyInPandas carries).
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values([time_col, id_col])
+            x = whole[value_col].to_numpy(np.float64)
             mask = ~np.isnan(x)
-            num, den = _ewm_sums(x, mask, beta, num_c, den_c)
+            num, den = ewm_carry_sums(x, mask, beta, num_c, den_c)
             with np.errstate(invalid="ignore", divide="ignore"):
                 ema = num / den
-            frames.append(
-                pd.DataFrame(
-                    {
-                        series_col: key[0],
-                        id_col: pdf[id_col].to_numpy(),
-                        time_col: pdf[time_col].to_numpy(),
-                        "residual": x - ema,
-                    }
-                )
+            out = pd.DataFrame(
+                {
+                    series_col: key[0],
+                    id_col: whole[id_col].to_numpy(),
+                    time_col: whole[time_col].to_numpy(),
+                    "residual": x - ema,
+                }
             )
-            if len(x):
-                num_c, den_c = float(num[-1]), float(den[-1])
-                n_seen += len(x)
-        state.update((num_c, den_c, n_seen))
-        yield from frames
+            num_c, den_c = float(num[-1]), float(den[-1])
+            n_seen += len(x)
+            state.update((num_c, den_c, n_seen))
+            yield out
+        else:
+            state.update((num_c, den_c, n_seen))
 
     sel = stream.select(series_col, id_col, time_col, value_col)
     return sel.groupBy(series_col).applyInPandasWithState(
