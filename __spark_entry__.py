@@ -101,6 +101,39 @@ def q_rollup_gapfill_1h(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental continuous-aggregate refresh
+    (preprocessor_spark/rollup/incremental.py): the corpus is split at a
+    time cutoff into a base and an appended delta, each aggregated to 1h
+    algebraic partials INDEPENDENTLY, then merged with
+    :func:`merge_partials` — the oracle aggregates the whole table in one
+    pass, so a hash match proves merge(base, delta) == full recompute (the
+    identity every O(delta) tier refresh rests on)."""
+    from preprocessor_spark.rollup.incremental import merge_partials
+    from preprocessor_spark.rollup.tiers import RollupTree, TierSpec
+
+    ev = _t(spark, sf, "events").select("event_type", "ts", "value")
+    tree = RollupTree(
+        time_col="ts",
+        series_cols=["event_type"],
+        value_col="value",
+        tiers=[TierSpec("1h", "1 hour")],
+    )
+    cut = "2024-01-23 00:00:00"
+    base = tree.base_aggregate(ev.filter(F.col("ts") < cut), tree.tiers[0])
+    delta = tree.base_aggregate(ev.filter(F.col("ts") >= cut), tree.tiers[0])
+    merged = merge_partials(base, delta, ["event_type", "bucket_start"])
+    return merged.select(
+        "event_type",
+        "bucket_start",
+        "n_points",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("sum_sq", 4).alias("sum_sq"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    )
+
+
 def q_retention_tiers(spark: SparkSession, sf: str) -> DataFrame:
     """Retention-policy enforcement over the tier tree: fine tier keeps 7
     days, coarse tier 30 days (relative to the corpus max ts); per tier the
@@ -1013,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "rollup_gapfill_1h": q_rollup_gapfill_1h,
+        "rollup_incremental": q_rollup_incremental,
         "retention_tiers": q_retention_tiers,
         "sessionize": q_sessionize,
         # preprocessing operators (reference parity)
@@ -1354,6 +1388,16 @@ def oracle_sql() -> dict[str, str]:
                    round(min(mn), 6) AS min_v,
                    round(max(mx), 6) AS max_v
             FROM t1h GROUP BY 1, 2
+        """,
+        "rollup_incremental": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_start,
+                   count(*) AS n_points,
+                   round(sum(value), 4) AS sum_v,
+                   round(sum(value * value), 4) AS sum_sq,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v
+            FROM events GROUP BY 1, 2
         """,
         "rollup_gapfill_1h": """
             WITH t1h AS (

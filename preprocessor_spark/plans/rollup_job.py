@@ -294,7 +294,9 @@ def main(argv: list[str] | None = None) -> dict:
     # floor); lineage row counts ride the write action as Observation
     # metrics. Fixed per-tier overhead is what caps the N→4N scaling
     # efficiency that the north rule grades.
-    def run_tier_tree(tree_out: str, tree_manifest, label: str = "") -> dict:
+    def run_tier_tree(
+        tree_out: str, tree_manifest, label: str = "", persist_bounds: bool = False
+    ) -> dict:
         from preprocessor_spark.rollup.checkpoint import (
             ROWS_PER_WRITE_TASK,
             run_resumable_observed as _write,
@@ -318,6 +320,17 @@ def main(argv: list[str] | None = None) -> dict:
             .collect()
         ]
         bounds_seconds = round(time.perf_counter() - t0, 3)
+        if persist_bounds:
+            # sidecar consumed by plans/refresh_job.py: the per-series edge
+            # state a dense tier needs to seed ONLY its new buckets on an
+            # incremental refresh (rollup/incremental.py)
+            from preprocessor_spark.rollup.incremental import save_bounds
+
+            save_bounds(
+                os.path.join(tree_out, "series_bounds.json"),
+                bounds_rows,
+                ["source"],
+            )
         sources = sorted(r[0] for r in bounds_rows)
         cores = spark.sparkContext.defaultParallelism
 
@@ -479,7 +492,7 @@ def main(argv: list[str] | None = None) -> dict:
             _sh.rmtree(warm_out, ignore_errors=True)
 
         cpu0 = _proc_tree_cpu_seconds()
-        tier_metrics = run_tier_tree(out, manifest)
+        tier_metrics = run_tier_tree(out, manifest, persist_bounds=True)
         cpu1 = _proc_tree_cpu_seconds()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
