@@ -384,6 +384,23 @@ def q_token_hist(spark: SparkSession, sf: str) -> DataFrame:
     return d.groupBy(b).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval decontamination (functions/decontam.py): docs sharing a
+    13-word n-gram (the GPT-3 appendix-C window) with the deterministic
+    eval slice (doc_id % 7 == 0) are flagged with their distinct-overlap
+    count. ``key="raw"`` joins on the n-gram strings themselves so the
+    DuckDB mirror is exact; the scale default is 8-byte xxhash64 keys
+    (hash-equivalence pinned by tests/test_decontam.py)."""
+    from preprocessor_spark.functions.decontam import contamination
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return contamination(train, ev, text_col="text", n=13, key="raw").select(
+        "doc_id", "n_hits"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: lowest doc_id per identical text (SURVEY training-data
     dedup, exact tier).
@@ -1064,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents / training-data pipeline
         "token_stats": q_token_stats,
         "token_hist": q_token_hist,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_word_set": q_dedup_word_set,
         "duplicate_stats": q_duplicate_stats,
@@ -1619,6 +1637,23 @@ def oracle_sql() -> dict[str, str]:
                      AS len_bucket,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), ng AS (
+              SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+              FROM toks, UNNEST(range(1, len(t) - 11)) AS r(i)
+              WHERE len(t) >= 13
+            ), ngd AS (SELECT DISTINCT doc_id, g FROM ng),
+            ev AS (SELECT DISTINCT g FROM ngd WHERE doc_id % 7 = 0)
+            SELECT d.doc_id, count(*) AS n_hits
+            FROM (SELECT * FROM ngd WHERE doc_id % 7 <> 0) d
+            JOIN ev USING (g)
+            GROUP BY 1
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id FROM documents GROUP BY text

@@ -1,0 +1,132 @@
+"""Train/eval decontamination — word-n-gram overlap against an eval set.
+
+The standard LLM-corpus hygiene pass (GPT-3 appendix C / PaLM / Llama
+style): a training document is contaminated if it shares at least
+``min_overlap`` distinct word n-grams (n≈13 in the papers; configurable —
+use smaller n for short documents) with any document of an evaluation
+benchmark. The reference preprocessor has no eval-set notion; this is an
+engine addition required by the LLM-pipeline mandate, same family as
+functions/dedup.py.
+
+Shape at scale (the whole point):
+  * the EVAL side is small (benchmarks: 10^3-10^5 docs) — its distinct
+    n-gram key set is aggregated first and broadcast, so the 10^12-doc
+    train side joins without a shuffle (hash lookup per train n-gram);
+  * the train side never materializes its n-gram set globally: n-grams
+    explode per partition, hit the broadcast hash join, and only HITS
+    survive to the (tiny) per-doc aggregation;
+  * join keys are 8-byte ``xxhash64`` of the n-gram by default instead of
+    the ~100-byte strings (``key="raw"`` keeps exact strings for oracle
+    parity / collision-free audit; ``key="md5"`` is the 128-bit middle
+    ground, mirrorable in DuckDB). At 10^9 distinct eval n-grams the
+    64-bit collision expectation is ~0.03 spurious key equalities — and a
+    collision can only ADD a candidate hit, never drop one, so
+    ``min_overlap > 1`` is already collision-robust.
+
+Documents shorter than ``n`` tokens produce no n-grams and are never
+flagged (the papers fall back to smaller n for short eval docs; callers
+can pass a smaller ``n`` for the same effect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_ngrams", "doc_ngrams", "contamination", "decontaminate"]
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Array of word n-grams (space-joined, lowercased) — native column
+    expression, no UDF: split on whitespace, drop empties, slide an
+    ``n``-window via transform over the start-index sequence. Empty array
+    for texts with fewer than ``n`` tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+    # slice() is 1-based; sequence(1, size-n+1) is empty when size < n
+    return F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _keyed(g: Column, key: str) -> Column:
+    if key == "raw":
+        return g
+    if key == "md5":
+        return F.md5(g)
+    if key == "xxhash64":
+        return F.xxhash64(g)
+    raise ValueError(f"unknown n-gram key codec: {key!r}")
+
+
+def doc_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    id_col: str = "doc_id",
+    key: str = "xxhash64",
+) -> DataFrame:
+    """(id, __ng) rows — each document's DISTINCT n-gram keys. Distinct is
+    taken per document (repeated phrases inside one doc count once, per
+    the papers' set semantics)."""
+    return (
+        df.select(id_col, F.explode(word_ngrams(text_col, n)).alias("__g"))
+        .select(id_col, _keyed(F.col("__g"), key).alias("__ng"))
+        .distinct()
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    min_overlap: int = 1,
+    key: str = "xxhash64",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per contaminated train doc: (id_col, n_hits) where n_hits counts the
+    DISTINCT n-grams shared with the eval set (union over eval docs); only
+    docs with n_hits ≥ min_overlap are returned."""
+    ev = eval_docs.select(
+        F.explode(word_ngrams(eval_text_col or text_col, n)).alias("__g")
+    ).select(_keyed(F.col("__g"), key).alias("__ng")).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = doc_ngrams(docs, text_col, n, id_col, key).join(ev, "__ng")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    min_overlap: int = 1,
+    key: str = "xxhash64",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The training corpus minus contaminated documents (left-anti join on
+    the contamination set — payload columns never shuffle: only (id, hash)
+    pairs move, the anti join keys on id)."""
+    bad = contamination(
+        docs,
+        eval_docs,
+        text_col,
+        n,
+        id_col,
+        eval_text_col,
+        min_overlap,
+        key,
+        broadcast_eval,
+    ).select(id_col)
+    return docs.join(F.broadcast(bad) if broadcast_eval else bad, id_col, "left_anti")
