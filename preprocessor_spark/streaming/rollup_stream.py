@@ -81,6 +81,72 @@ def stream_tier_to_sink(
     return writer.start()
 
 
+def stream_refresh_tiers(
+    stream: DataFrame,
+    inc,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous maintenance of the BATCH tier store: each micro-batch of
+    raw facts merges into the on-disk tree via
+    rollup/incremental.IncrementalRollup — the production
+    continuous-aggregate pattern (Kafka → micro-batch → MERGE into the
+    aggregate table), and the state-free alternative to the complete-mode
+    snapshot sink above: no aggregation state lives in the stream at all,
+    so state size is zero regardless of corpus age, and the tiers the
+    stream maintains are byte-compatible with (indeed, the same files as)
+    the ones plans/rollup_job.py builds.
+
+    Late interior data is fine here — the tier merge is order-free algebra
+    (contrast plans/refresh_job.py, whose MA-unbias seam demands
+    append-only order; a deployment needing unbiased values streams the
+    PREPARED series through this sink instead of raw facts).
+
+    Replay protection: foreachBatch is at-least-once on failure recovery,
+    and an algebraic merge is NOT idempotent (re-merging a batch double
+    counts) — applied epoch ids are recorded in a sidecar under the tree
+    root and replayed epochs are skipped. The record is written after the
+    merge's directory moves, so the crash window between the two re-merges
+    at most one batch; at deployment the merge and the epoch mark are one
+    atomic Iceberg commit."""
+    writer = stream.writeStream.foreachBatch(make_refresh_batch(inc)).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_refresh_batch(inc):
+    """The foreachBatch callback behind :func:`stream_refresh_tiers`,
+    exposed so its epoch-replay bookkeeping is directly testable."""
+    import json
+    import os
+
+    applied_path = os.path.join(inc.root, "refresh_epochs.jsonl")
+
+    def refresh_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done: set[int] = set()
+        if os.path.exists(applied_path):
+            with open(applied_path) as f:
+                for line in f:
+                    done.add(json.loads(line)["epoch"])
+        if int(epoch_id) in done:
+            return
+        metrics = inc.refresh(batch_df.sparkSession, batch_df)
+        with open(applied_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"epoch": int(epoch_id), "seconds": metrics["total_seconds"]}
+                )
+                + "\n"
+            )
+            f.flush()
+            os.fsync(f.fileno())
+
+    return refresh_batch
+
+
 def stream_dedup_exact(
     stream: DataFrame,
     time_col: str = "ts",
