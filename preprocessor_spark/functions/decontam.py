@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_ngrams", "doc_ngrams", "contamination", "decontaminate"]
+__all__ = [
+    "word_ngrams",
+    "token_ngram_keys",
+    "doc_ngrams",
+    "contamination",
+    "contamination_tokens",
+    "decontaminate",
+]
 
 
 def word_ngrams(text: Column | str, n: int) -> Column:
@@ -48,6 +55,57 @@ def word_ngrams(text: Column | str, n: int) -> Column:
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )).otherwise(F.array().cast("array<string>"))
+
+
+def token_ngram_keys(tokens: Column | str, n: int) -> Column:
+    """Array of 64-bit n-gram keys over a PRE-TOKENIZED sequence
+    (``array<int>`` — the engine's authoritative payload): each window of
+    ``n`` token ids hashes to one xxhash64 of its canonical string form.
+    Token-id n-grams are the exact-match decontamination unit when the
+    corpus is already tokenized — no detokenize/re-split round trip, and
+    the window slides over ids, not whitespace. Empty array for sequences
+    shorter than ``n``."""
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.when(F.size(c) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(c) - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.concat_ws(",", F.slice(c, i, n))),
+    )).otherwise(F.array().cast("array<bigint>"))
+
+
+def contamination_tokens(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    tokens_col: str = "tokens",
+    n: int = 13,
+    id_col: str = "doc_id",
+    eval_tokens_col: str | None = None,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """:func:`contamination` over token-id sequences instead of text —
+    same broadcast-eval shape, same (id_col, n_hits) result."""
+    ev = (
+        eval_docs.select(
+            F.explode(
+                token_ngram_keys(eval_tokens_col or tokens_col, n)
+            ).alias("__ng")
+        )
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    train = (
+        docs.select(
+            id_col, F.explode(token_ngram_keys(tokens_col, n)).alias("__ng")
+        )
+        .distinct()
+    )
+    return (
+        train.join(ev, "__ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
 
 
 def _keyed(g: Column, key: str) -> Column:

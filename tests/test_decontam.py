@@ -88,6 +88,36 @@ def test_doc_ngrams_distinct_per_doc(spark, docs):
     assert "a b c d e" in grams
 
 
+def test_contamination_tokens(spark):
+    """Token-id n-gram variant: windows slide over ids; a shared 3-window
+    of ids flags the doc, a reordered/shorter one doesn't."""
+    from preprocessor_spark.functions.decontam import (
+        contamination_tokens,
+        token_ngram_keys,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, [9, 1, 2, 3, 8]),  # contains eval window (1,2,3)
+            (1, [3, 2, 1, 4, 5]),  # reversed — no shared window
+            (2, [1, 2]),  # too short for n=3
+            (3, [1, 2, 3, 4, 5]),  # shares (1,2,3),(2,3,4),(3,4,5)
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1, 2, 3, 4, 5])], "doc_id long, tokens array<int>"
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_tokens(train, ev, n=3).collect()
+    }
+    assert got == {0: 1, 3: 3}
+    # short sequence yields no keys at all
+    short = spark.createDataFrame([([1, 2],)], "tokens array<int>")
+    assert short.select(token_ngram_keys("tokens", 3)).collect()[0][0] == []
+
+
 def test_eval_side_broadcasts(spark, docs, ev):
     """The train side must meet the eval n-gram set in a broadcast hash
     join — a shuffled join over 10^12 exploded train n-grams is the
