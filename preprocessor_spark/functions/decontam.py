@@ -94,11 +94,13 @@ def contamination_tokens(
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    train = (
-        docs.select(
-            id_col, F.explode(token_ngram_keys(tokens_col, n)).alias("__ng")
-        )
-        .distinct()
+    # per-doc distinct via array_distinct — no global (id, key) shuffle
+    # (same rationale as doc_ngrams)
+    train = docs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(token_ngram_keys(tokens_col, n))
+        ).alias("__ng"),
     )
     return (
         train.join(ev, "__ng")
@@ -127,12 +129,16 @@ def doc_ngrams(
 ) -> DataFrame:
     """(id, __ng) rows — each document's DISTINCT n-gram keys. Distinct is
     taken per document (repeated phrases inside one doc count once, per
-    the papers' set semantics)."""
-    return (
-        df.select(id_col, F.explode(word_ngrams(text_col, n)).alias("__g"))
-        .select(id_col, _keyed(F.col("__g"), key).alias("__ng"))
-        .distinct()
-    )
+    the papers' set semantics) — and WITHIN the row via array_distinct,
+    never as a global DISTINCT: de-duplicating (id, key) pairs through a
+    shuffle would move |corpus|×~|tokens| rows; the array form costs one
+    local sort per doc and nothing crosses the wire."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_ngrams(text_col, n))
+        ).alias("__g"),
+    ).select(id_col, _keyed(F.col("__g"), key).alias("__ng"))
 
 
 def contamination(

@@ -129,3 +129,10 @@ def test_eval_side_broadcasts(spark, docs, ev):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+    # exactly two shuffles, NEITHER on the exploded train n-grams: the
+    # per-doc hit count (keyed on doc_id, hits only) and the eval set's
+    # cross-doc distinct inside the broadcast build (≤|eval n-grams| rows).
+    # Train-side per-doc distinct is array-local, so the corpus-sized
+    # exploded stream flows scan → explode → hash-probe with no exchange.
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
