@@ -134,6 +134,29 @@ def q_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tier_hist_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable per-tier histogram (rollup/tiers.py::histogram_agg): 10
+    fixed bins over value∈[0,50) per (event_type, hour), emitted long-form
+    (bin, n) with empty bins dropped — the tier statistic behind
+    percentile queries at every retention level; re-aggregation and
+    incremental-merge folds are pinned by tests/test_tier_histogram.py."""
+    from preprocessor_spark.rollup.tiers import histogram_agg
+
+    ev = _t(spark, sf, "events")
+    t1h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(histogram_agg(F.col("value"), 0.0, 50.0, 10))
+    return (
+        t1h.select(
+            "event_type",
+            "bucket_start",
+            F.posexplode("hist_v").alias("bin", "n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("event_type", "bucket_start", F.col("bin").cast("long").alias("bin"), "n")
+    )
+
+
 def q_retention_tiers(spark: SparkSession, sf: str) -> DataFrame:
     """Retention-policy enforcement over the tier tree: fine tier keeps 7
     days, coarse tier 30 days (relative to the corpus max ts); per tier the
@@ -1064,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "rollup_gapfill_1h": q_rollup_gapfill_1h,
         "rollup_incremental": q_rollup_incremental,
+        "tier_hist_1h": q_tier_hist_1h,
         "retention_tiers": q_retention_tiers,
         "sessionize": q_sessionize,
         # preprocessing operators (reference parity)
@@ -1406,6 +1430,14 @@ def oracle_sql() -> dict[str, str]:
                    round(min(mn), 6) AS min_v,
                    round(max(mx), 6) AS max_v
             FROM t1h GROUP BY 1, 2
+        """,
+        "tier_hist_1h": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_start,
+                   CAST(least(greatest(floor(value / 5.0), 0), 9) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2, 3
         """,
         "rollup_incremental": """
             SELECT event_type,

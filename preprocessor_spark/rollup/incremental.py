@@ -58,7 +58,10 @@ from preprocessor_spark.rollup.tiers import (
 
 
 def merge_partials(
-    existing: DataFrame, delta_partial: DataFrame, key_cols: list[str]
+    existing: DataFrame,
+    delta_partial: DataFrame,
+    key_cols: list[str],
+    hist: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Fold delta partials into existing tier rows per key: union + one
     hash re-aggregation (sums of sums, min of mins, max of maxes — the
@@ -68,13 +71,17 @@ def merge_partials(
     Gap rows participate naturally: an existing (n_points=0, null stats)
     seed merged with a delta partial yields the delta's stats; a seed with
     no delta survives unchanged. Both inputs must carry exactly
-    key_cols + ALGEBRAIC."""
-    cols = [*key_cols, *ALGEBRAIC]
+    key_cols + ALGEBRAIC (+ the histogram column when ``hist`` names one:
+    ``(column_name, nbins)`` — element-wise mergeable, tiers.py)."""
+    from preprocessor_spark.rollup.tiers import histogram_reagg
+
+    cols = [*key_cols, *ALGEBRAIC, *([hist[0]] if hist else [])]
+    aggs = [*algebraic_reaggs(), *([histogram_reagg(hist[1], hist[0])] if hist else [])]
     return (
         existing.select(*cols)
         .unionByName(delta_partial.select(*cols))
         .groupBy(*key_cols)
-        .agg(*algebraic_reaggs())
+        .agg(*aggs)
     )
 
 

@@ -63,6 +63,85 @@ def algebraic_reaggs():
     ]
 
 
+def histogram_agg(value_col, lo: float, hi: float, nbins: int, name: str = "hist_v"):
+    """Mergeable fixed-bin histogram of the raw values — the tier statistic
+    that unlocks percentiles at every retention tier (mean/std/min/max
+    alone can't answer "p95 token length per hour"). One conditional-sum
+    lane per bin, all inside whole-stage codegen (the same N-lane
+    aggregate shape as the simhash bit votes) — no sketch UDF, no second
+    shuffle. Values below/above [lo, hi) clamp to the edge bins; nulls
+    count nowhere. Mergeable by construction: the fold is element-wise sum
+    (:func:`histogram_reagg`), so histograms re-aggregate up the tree and
+    fold in incremental refreshes exactly like count/sum/min/max."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = (float(hi) - float(lo)) / int(nbins)
+    idx = F.least(
+        F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(w)), F.lit(0)),
+        F.lit(int(nbins) - 1),
+    )
+    return F.array(
+        *[
+            F.sum(
+                F.when(v.isNotNull() & (idx == i), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long")
+            for i in range(int(nbins))
+        ]
+    ).alias(name)
+
+
+def histogram_reagg(nbins: int, name: str = "hist_v"):
+    """Element-wise fold of already-aggregated histogram arrays (tier k →
+    k+1, or incremental merge): nbins native sums over element_at — coarse
+    tiers are small, so the lane count is codegen breadth, not data."""
+    return F.array(
+        *[
+            F.sum(F.element_at(F.col(name), i + 1)).cast("long")
+            for i in range(int(nbins))
+        ]
+    ).alias(name)
+
+
+def hist_percentile(hist, q: float, lo: float, hi: float, nbins: int):
+    """Percentile estimate from a histogram array — linear interpolation
+    within the bin containing the q-th point, pure column expressions
+    (aggregate fold for the cumulative scan, no UDF). Returns null for an
+    empty histogram."""
+    h = F.col(hist) if isinstance(hist, str) else hist
+    w = (float(hi) - float(lo)) / int(nbins)
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.lit(float(q)) * total.cast("double")
+    # fold state: (cum, found_bin, cum_before) — first bin where the
+    # running total reaches the target wins
+    state = F.aggregate(
+        F.zip_with(
+            h, F.sequence(F.lit(0), F.lit(int(nbins) - 1)),
+            lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+        ),
+        F.struct(
+            F.lit(0.0).alias("cum"),
+            F.lit(-1).alias("bin"),
+            F.lit(0.0).alias("before"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(
+                (acc["bin"] < 0) & (acc["cum"] + x["c"] >= target) & (x["c"] > 0),
+                x["i"],
+            ).otherwise(acc["bin"]).alias("bin"),
+            F.when(
+                (acc["bin"] < 0) & (acc["cum"] + x["c"] >= target) & (x["c"] > 0),
+                acc["cum"],
+            ).otherwise(acc["before"]).alias("before"),
+        ),
+    )
+    in_bin = F.greatest(
+        F.element_at(h, state["bin"] + 1).cast("double"), F.lit(1.0)
+    )
+    frac = (target - state["before"]) / in_bin
+    est = F.lit(float(lo)) + (state["bin"] + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))) * F.lit(w)
+    return F.when((total > 0) & (state["bin"] >= 0), est)
+
+
 @dataclass(frozen=True)
 class TierSpec:
     name: str  # e.g. "5m", "1h", "1d"
