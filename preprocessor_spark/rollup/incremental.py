@@ -500,6 +500,46 @@ class IncrementalRollup:
                 out.add(tuple(vals[c] for c in self.partition_cols))
         return out
 
+    _SAFE_DIR_VALUE = __import__("re").compile(r"^[A-Za-z0-9._-]+$")
+
+    def _read_touched(
+        self, spark: SparkSession, tier_path: str, tup: list[tuple]
+    ) -> DataFrame:
+        """Read ONLY the touched partition directories, by explicit path +
+        basePath (partition columns recovered from the paths). A plain
+        read-then-filter still LISTS the whole tier tree before pruning —
+        measured as the dominant refresh cost once the tier carries
+        thousands of (source, day) dirs (refresh wall grew with corpus AGE,
+        the opposite of the O(delta) contract); explicit paths make
+        discovery O(touched). Dirs that don't exist yet (new day / new
+        series) are skipped; if every dir is new, or any partition value
+        needs Hive path-escaping beyond plain str(), fall back to the
+        pruned full read (correct, just slower)."""
+        vals_ok = all(
+            self._SAFE_DIR_VALUE.match(str(v)) for t in tup for v in t
+        )
+        if vals_ok:
+            paths = [
+                os.path.join(
+                    tier_path,
+                    *[f"{c}={v}" for c, v in zip(self.partition_cols, t)],
+                )
+                for t in tup
+            ]
+            existing_paths = [p for p in paths if os.path.isdir(p)]
+            if not existing_paths:
+                # brand-new partitions only: nothing to merge with — an
+                # empty slice of the tier keeps the union schema aligned
+                return spark.read.option("basePath", tier_path).parquet(
+                    tier_path
+                ).limit(0)
+            return spark.read.option("basePath", tier_path).parquet(
+                *existing_paths
+            )
+        return spark.read.parquet(tier_path).filter(
+            _partition_predicate(self.partition_cols, tup)
+        )
+
     def _refresh_fused(
         self,
         spark: SparkSession,
@@ -563,9 +603,7 @@ class IncrementalRollup:
             tup = touched[tier.name]
             if not tup:
                 continue
-            existing = spark.read.parquet(self.tier_path(tier)).filter(
-                _partition_predicate(self.partition_cols, tup)
-            )
+            existing = self._read_touched(spark, self.tier_path(tier), tup)
             merged = merge_partials(existing, part, merge_keys).withColumn(
                 "__tier", F.lit(tier.name)
             )
