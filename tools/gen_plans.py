@@ -159,6 +159,32 @@ add(
     "plan is a single scan + codegen filter + TakeOrderedAndProject.",
 )
 
+add(
+    "Decontamination broadcast probe (decontaminate)",
+    e.q_decontaminate(spark, SF),
+    "The corpus-sized exploded n-gram stream flows scan → explode →\n"
+    "BroadcastHashJoin probe with NO exchange (per-doc distinct is\n"
+    "array-local); the only shuffles are the per-doc hit count (hits only)\n"
+    "and the small eval set's distinct inside the broadcast build.",
+)
+
+add(
+    "Mergeable tier histogram (tier_hist_1h)",
+    e.q_tier_hist_1h(spark, SF),
+    "One partial+final HashAggregate computing all bins as conditional-sum\n"
+    "lanes inside WholeStageCodegen — the histogram rides the same exchange\n"
+    "as the tier's other statistics; posexplode to long form happens on\n"
+    "|buckets| rows, after the aggregate.",
+)
+
+add(
+    "Incremental tier merge (rollup_incremental)",
+    e.q_rollup_incremental(spark, SF),
+    "Two independent partial aggregates (base, delta) union into ONE final\n"
+    "re-aggregation — sums of sums, min of mins — the fold every O(delta)\n"
+    "refresh rests on; no join, no sort.",
+)
+
 with open("/root/repo/docs/PLANS.md", "w") as f:
     f.write("# Physical-plan evidence\n\n")
     f.write(
