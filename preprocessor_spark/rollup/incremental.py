@@ -124,6 +124,53 @@ def _partition_predicate(partition_cols: list[str], tuples: list[tuple]):
     return reduce(lambda a, b: a & b, preds)
 
 
+_SAFE_DIR_VALUE_RE = None
+
+
+def read_touched_partitions(
+    spark: SparkSession,
+    tier_path: str,
+    partition_cols: list[str],
+    tuples: list[tuple],
+) -> DataFrame:
+    """Read ONLY the touched partition directories, by explicit path +
+    basePath (partition columns recovered from the paths). A plain
+    read-then-filter still LISTS the whole tier tree before pruning —
+    measured as the dominant refresh cost once a tier carries thousands of
+    (source, day) dirs (refresh wall grew with corpus AGE, the opposite of
+    the O(delta) contract); explicit paths make discovery O(touched). On a
+    cluster store the same listing-avoidance comes from Iceberg partition
+    metadata. Dirs that don't exist yet (new day / new series) are
+    skipped; if every dir is new, or any partition value needs Hive
+    path-escaping beyond plain str(), fall back to the pruned full read
+    (correct, just slower)."""
+    import re
+
+    global _SAFE_DIR_VALUE_RE
+    if _SAFE_DIR_VALUE_RE is None:
+        _SAFE_DIR_VALUE_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+    if all(_SAFE_DIR_VALUE_RE.match(str(v)) for t in tuples for v in t):
+        paths = [
+            os.path.join(
+                tier_path, *[f"{c}={v}" for c, v in zip(partition_cols, t)]
+            )
+            for t in tuples
+        ]
+        existing_paths = [p for p in paths if os.path.isdir(p)]
+        if not existing_paths:
+            # brand-new partitions only: an empty slice keeps the union
+            # schema aligned; nothing merges
+            return (
+                spark.read.option("basePath", tier_path)
+                .parquet(tier_path)
+                .limit(0)
+            )
+        return spark.read.option("basePath", tier_path).parquet(*existing_paths)
+    return spark.read.parquet(tier_path).filter(
+        _partition_predicate(partition_cols, tuples)
+    )
+
+
 def refresh_tier_path(
     spark: SparkSession,
     tier_path: str,
@@ -150,8 +197,7 @@ def refresh_tier_path(
     if not touched:
         delta_partial.unpersist()
         return {"partitions_rewritten": 0, "rows_written": 0, "seconds": 0.0}
-    pred = _partition_predicate(partition_cols, touched)
-    existing = spark.read.parquet(tier_path).filter(pred)
+    existing = read_touched_partitions(spark, tier_path, partition_cols, touched)
     # partition columns outside the bucket key (e.g. bucket_day, derived
     # from bucket_start) ride the merge as extra group keys — functionally
     # dependent on the key, so the fold is unchanged and the write below
@@ -500,46 +546,6 @@ class IncrementalRollup:
                 out.add(tuple(vals[c] for c in self.partition_cols))
         return out
 
-    _SAFE_DIR_VALUE = __import__("re").compile(r"^[A-Za-z0-9._-]+$")
-
-    def _read_touched(
-        self, spark: SparkSession, tier_path: str, tup: list[tuple]
-    ) -> DataFrame:
-        """Read ONLY the touched partition directories, by explicit path +
-        basePath (partition columns recovered from the paths). A plain
-        read-then-filter still LISTS the whole tier tree before pruning —
-        measured as the dominant refresh cost once the tier carries
-        thousands of (source, day) dirs (refresh wall grew with corpus AGE,
-        the opposite of the O(delta) contract); explicit paths make
-        discovery O(touched). Dirs that don't exist yet (new day / new
-        series) are skipped; if every dir is new, or any partition value
-        needs Hive path-escaping beyond plain str(), fall back to the
-        pruned full read (correct, just slower)."""
-        vals_ok = all(
-            self._SAFE_DIR_VALUE.match(str(v)) for t in tup for v in t
-        )
-        if vals_ok:
-            paths = [
-                os.path.join(
-                    tier_path,
-                    *[f"{c}={v}" for c, v in zip(self.partition_cols, t)],
-                )
-                for t in tup
-            ]
-            existing_paths = [p for p in paths if os.path.isdir(p)]
-            if not existing_paths:
-                # brand-new partitions only: nothing to merge with — an
-                # empty slice of the tier keeps the union schema aligned
-                return spark.read.option("basePath", tier_path).parquet(
-                    tier_path
-                ).limit(0)
-            return spark.read.option("basePath", tier_path).parquet(
-                *existing_paths
-            )
-        return spark.read.parquet(tier_path).filter(
-            _partition_predicate(self.partition_cols, tup)
-        )
-
     def _refresh_fused(
         self,
         spark: SparkSession,
@@ -603,7 +609,9 @@ class IncrementalRollup:
             tup = touched[tier.name]
             if not tup:
                 continue
-            existing = self._read_touched(spark, self.tier_path(tier), tup)
+            existing = read_touched_partitions(
+                spark, self.tier_path(tier), self.partition_cols, tup
+            )
             merged = merge_partials(existing, part, merge_keys).withColumn(
                 "__tier", F.lit(tier.name)
             )
