@@ -295,6 +295,7 @@ def main(argv: list[str] | None = None) -> dict:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
         compress_seconds = round(time.perf_counter() - t0, 3)
 
+    prepared_delta.unpersist()
     total = round(time.perf_counter() - t_start, 3)
     result = {
         "job": "refresh_job",
