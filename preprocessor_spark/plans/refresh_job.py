@@ -147,13 +147,44 @@ def main(argv: list[str] | None = None) -> dict:
         print(json.dumps(result))
         return result
 
-    # -- append-only seam validation (see module docstring) ---------------
-    delta_mins = {
-        tuple(r[:-1]): r[-1]
-        for r in delta.groupBy("source")
-        .agg(F.unix_timestamp(F.min("ts")).cast("long").alias("__m"))
+    # Double-apply guard: the prepared append and the tier merge are both
+    # non-idempotent, so re-running the job with a delta that was already
+    # absorbed would double-count every bucket. The delta is fingerprinted
+    # by content-extent (rows + per-source time bounds), checked against
+    # the manifest, and marked ONLY after the last write succeeds — a rerun
+    # after full success is refused; a rerun after a mid-job crash is also
+    # refused (unmarked but partially applied), because unlike the tier
+    # jobs there is no per-partition unit to resume idempotently; recovery
+    # is restoring the output dir (or rebuilding via rollup_job). At
+    # deployment the whole refresh is one Iceberg transaction and this
+    # guard becomes the commit's snapshot check. The streaming path
+    # (streaming/rollup_stream.stream_refresh_tiers) carries the same
+    # guard keyed on micro-batch epoch ids.
+    extent = (
+        delta.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_timestamp(F.min("ts")).cast("long").alias("t0"),
+            F.unix_timestamp(F.max("ts")).cast("long").alias("t1"),
+        )
+        .orderBy("source")
         .collect()
-    }
+    )
+    import hashlib
+
+    fingerprint = hashlib.sha256(
+        json.dumps([[r[0], int(r[1]), int(r[2]), int(r[3])] for r in extent]).encode()
+    ).hexdigest()[:16]
+    if fingerprint in manifest.completed("refresh_delta"):
+        raise ValueError(
+            f"delta {args.delta_input} (fingerprint {fingerprint}) was "
+            "already absorbed by a previous refresh — re-applying would "
+            "double-count every touched bucket"
+        )
+
+    # -- append-only seam validation (see module docstring) ---------------
+    # the fingerprint extent already carries per-source min ts — reuse it
+    delta_mins = {(r[0],): int(r[2]) for r in extent}
     old_max = {tuple(r[:-2]): int(r[-1]) for r in old_bounds}
     stale = {
         k: (m, old_max[k])
@@ -296,6 +327,7 @@ def main(argv: list[str] | None = None) -> dict:
         compress_seconds = round(time.perf_counter() - t0, 3)
 
     prepared_delta.unpersist()
+    manifest.mark("refresh_delta", fingerprint, rows=delta_rows)
     total = round(time.perf_counter() - t_start, 3)
     result = {
         "job": "refresh_job",

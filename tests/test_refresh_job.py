@@ -121,6 +121,14 @@ def test_refresh_metrics_and_lineage(spark, setup):
         assert f"refresh_{t.name}" in stages
 
 
+def test_double_apply_is_refused(spark, setup):
+    """Re-running the job with an already-absorbed delta must be refused
+    (prepared append + tier merge are non-idempotent)."""
+    paths, out, _, _ = setup
+    with pytest.raises(ValueError, match="already absorbed"):
+        refresh_job.main(["--output", out, "--delta-input", paths["delta2"]])
+
+
 def test_interior_late_data_is_refused(spark, setup, tmp_path):
     paths, out, _, _ = setup
     late = str(tmp_path / "late")
