@@ -1,4 +1,5 @@
 from preprocessor_spark.functions import (  # noqa: F401
+    decontam,
     dedup,
     media_codecs,
     multimodal,

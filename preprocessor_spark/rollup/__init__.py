@@ -1,1 +1,9 @@
-from preprocessor_spark.rollup.tiers import RollupTree, TierSpec  # noqa: F401
+from preprocessor_spark.rollup.incremental import (  # noqa: F401
+    IncrementalRollup,
+    merge_partials,
+)
+from preprocessor_spark.rollup.tiers import (  # noqa: F401
+    RetentionPolicy,
+    RollupTree,
+    TierSpec,
+)
