@@ -148,17 +148,17 @@ def main(argv: list[str] | None = None) -> dict:
         return result
 
     # Double-apply guard: the prepared append and the tier merge are both
-    # non-idempotent, so re-running the job with a delta that was already
-    # absorbed would double-count every bucket. The delta is fingerprinted
-    # by content-extent (rows + per-source time bounds), checked against
-    # the manifest, and marked ONLY after the last write succeeds — a rerun
-    # after full success is refused; a rerun after a mid-job crash is also
-    # refused (unmarked but partially applied), because unlike the tier
-    # jobs there is no per-partition unit to resume idempotently; recovery
-    # is restoring the output dir (or rebuilding via rollup_job). At
-    # deployment the whole refresh is one Iceberg transaction and this
-    # guard becomes the commit's snapshot check. The streaming path
-    # (streaming/rollup_stream.stream_refresh_tiers) carries the same
+    # non-idempotent, so applying the same delta twice would double-count
+    # every touched bucket. The delta is fingerprinted by content-extent
+    # (rows + per-source time bounds); a `started` mark lands in the
+    # manifest before the first write and a `refresh_delta` completion mark
+    # after the last — so a rerun is refused BOTH after full success and
+    # after a mid-job crash (started-without-completed means partially
+    # applied, and unlike the tier jobs there is no per-partition unit to
+    # resume idempotently; recovery is restoring the output dir, or
+    # rebuilding via rollup_job). At deployment the whole refresh is one
+    # Iceberg transaction and this guard becomes the commit's snapshot
+    # check. The streaming path (stream_refresh_tiers) carries the same
     # guard keyed on micro-batch epoch ids.
     extent = (
         delta.groupBy("source")
@@ -180,6 +180,14 @@ def main(argv: list[str] | None = None) -> dict:
             f"delta {args.delta_input} (fingerprint {fingerprint}) was "
             "already absorbed by a previous refresh — re-applying would "
             "double-count every touched bucket"
+        )
+    if fingerprint in manifest.completed("refresh_delta_started"):
+        raise ValueError(
+            f"a previous refresh of delta {args.delta_input} (fingerprint "
+            f"{fingerprint}) started but did not complete — the output may "
+            "be partially refreshed and a blind rerun would double-apply "
+            "the absorbed portion; restore the output dir from before that "
+            "run (or rebuild with rollup_job) before retrying"
         )
 
     # -- append-only seam validation (see module docstring) ---------------
@@ -254,6 +262,9 @@ def main(argv: list[str] | None = None) -> dict:
         .cache()  # consumed twice: the prepared append AND the tier refresh
     )
     prepared_path = os.path.join(out, "prepared")
+    # first mutation of the output dir — the crash-detection mark goes in
+    # immediately before it (see the double-apply guard above)
+    manifest.mark("refresh_delta_started", fingerprint, rows=delta_rows)
     prepared_delta.sortWithinPartitions("source", "tss").write.mode(
         "append"
     ).parquet(prepared_path)
