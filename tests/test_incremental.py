@@ -259,6 +259,65 @@ def test_refresh_empty_delta_is_noop(spark, tree, corpus, tmp_path):
         assert m[tier.name]["partitions_rewritten"] == 0
 
 
+def test_refresh_into_entirely_new_partitions(spark, tmp_path):
+    """A delta landing ONLY on partitions that don't exist yet (next day's
+    first ingest) exercises the explicit-path read's empty-slice branch:
+    nothing merges, the new partition dirs appear, old ones are untouched."""
+    t = RollupTree(
+        time_col="ts",
+        series_cols=["source"],
+        value_col="n_tok",
+        tiers=[TierSpec("5m", "5 minutes")],
+    )
+    base = spark.createDataFrame(
+        [("s0", "2020-01-01 10:00:30", 5)], "source string, ts string, n_tok int"
+    ).select("source", F.col("ts").cast("timestamp").alias("ts"), "n_tok")
+    delta = spark.createDataFrame(
+        [("s0", "2020-01-02 10:00:30", 7), ("s1", "2020-01-02 11:00:30", 9)],
+        "source string, ts string, n_tok int",
+    ).select("source", F.col("ts").cast("timestamp").alias("ts"), "n_tok")
+    root = str(tmp_path / "tree")
+    tier_dir = os.path.join(root, "tier_5m")
+    with_bucket_day(t.base_aggregate(base, t.tiers[0])).write.partitionBy(
+        "source", "bucket_day"
+    ).parquet(tier_dir)
+    inc = IncrementalRollup(t, root, partition_cols=["source", "bucket_day"])
+    m = inc.refresh(spark, delta)
+    assert m["5m"]["partitions_rewritten"] == 2
+    got = _tiers_pdf(spark.read.parquet(tier_dir).drop("bucket_day"))
+    exp = _tiers_pdf(t.base_aggregate(base.unionByName(delta), t.tiers[0]))
+    _assert_tier_equal(got, exp)
+
+
+def test_refresh_with_hive_unsafe_partition_value(spark, tmp_path):
+    """A partition value needing Hive path escaping (space in the series
+    key) must route through the pruned-read fallback and still merge
+    correctly."""
+    t = RollupTree(
+        time_col="ts",
+        series_cols=["source"],
+        value_col="n_tok",
+        tiers=[TierSpec("5m", "5 minutes")],
+    )
+    df = spark.createDataFrame(
+        [
+            ("src A", "2020-01-01 10:00:30", 5),
+            ("src A", "2020-01-01 10:02:30", 7),
+            ("plain", "2020-01-01 10:01:30", 3),
+        ],
+        "source string, ts string, n_tok int",
+    ).select("source", F.col("ts").cast("timestamp").alias("ts"), "n_tok")
+    base = df.filter(F.col("n_tok") != 7)
+    delta = df.filter(F.col("n_tok") == 7)
+    root = str(tmp_path / "tree")
+    tier_dir = os.path.join(root, "tier_5m")
+    t.base_aggregate(base, t.tiers[0]).write.partitionBy("source").parquet(tier_dir)
+    IncrementalRollup(t, root).refresh(spark, delta)
+    got = _tiers_pdf(spark.read.parquet(tier_dir))
+    exp = _tiers_pdf(t.base_aggregate(df, t.tiers[0]))
+    _assert_tier_equal(got, exp)
+
+
 def test_merge_bounds_and_extension_seeds(spark):
     old = [("s0", 1000, 2000), ("s1", 500, 900)]
     delta = [("s0", 2100, 3000), ("s2", 100, 400)]
