@@ -356,6 +356,14 @@ def main() -> None:
     full_path = os.path.join(
         repo, "BENCH", f"bench_full_r{(max(rounds, default=0) + 1):02d}.json"
     )
+    # Only the default-SF run is the round's official record; a smoke run at
+    # a smaller SF (SPARK_GRAFT_SF_DIR override) must not clobber it.
+    if SF_DIR != "/root/testdata/sf0.1":
+        full_path = os.path.join(
+            repo,
+            "BENCH",
+            f"bench_full_smoke_{os.path.basename(SF_DIR.rstrip('/'))}.json",
+        )
     try:
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
         with open(full_path, "w") as f:
