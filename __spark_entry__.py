@@ -940,7 +940,14 @@ def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
 
     li = _t(spark, sf, "lineitem")
     return mutual_information(
-        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", bins=8
+        li,
+        ["l_quantity", "l_discount", "l_tax"],
+        "l_extendedprice",
+        bins=8,
+        # exact edges bit-match DuckDB's quantile_cont; the engine default
+        # is the approx_percentile sketch (the 10^12-row shape), verified
+        # by the rank-equivalence pytest instead of a value hash
+        edge_method="exact",
     )
 
 

@@ -132,20 +132,37 @@ def mutual_information(
     feature_cols: list[str],
     label_col: str,
     bins: int = 16,
+    edge_method: str = "approx",
 ) -> DataFrame:
     """Distributed binned MI estimate per feature vs label (F3 analog).
 
-    Quantile bin edges from one `percentile` aggregate; joint/marginal
+    Quantile bin edges from one percentile aggregate; joint/marginal
     probabilities from one groupBy per feature (cheap: ≤ bins² rows each).
     Returns (feature, mi_bits) sorted descending — take the top-N as the
     selected subset, applied downstream as pure projection (P5).
+
+    edge_method picks the quantile estimator for the bin edges:
+    - "approx" (default): `approx_percentile` — a bounded-memory mergeable
+      sketch, the only shape that survives 10^12 rows (exact percentile
+      builds a value→count hashmap per task whose merged size is the
+      column's distinct count; on a high-cardinality column that is an
+      unbounded single-reducer merge). Edge placement error ≤ 1e-4 of
+      rank, which moves a bin boundary by at most a few rows — noise next
+      to the binning quantization itself.
+    - "exact": `percentile` — bit-matches DuckDB's quantile_cont, used by
+      the oracle-checked driver query; fine up to ~10^8 rows or on
+      low-cardinality columns.
     """
     probs = [i / bins for i in range(1, bins)]
+    if edge_method not in ("approx", "exact"):
+        raise ValueError(f"edge_method must be approx|exact, got {edge_method!r}")
+    fn = "percentile" if edge_method == "exact" else "approx_percentile"
+    acc = "" if edge_method == "exact" else ", 10000"
     edge_aggs = []
     for c in [*feature_cols, label_col]:
         edge_aggs.append(
             F.expr(
-                f"percentile({c}, array({', '.join(str(p) for p in probs)}))"
+                f"{fn}({c}, array({', '.join(str(p) for p in probs)}){acc})"
             ).alias(f"{c}__edges")
         )
     edges = df.agg(*edge_aggs).collect()[0]
