@@ -117,6 +117,26 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # MI scale path: the oracle-checked mutual_info query pins
+    # edge_method="exact" (bit-matched to DuckDB quantile_cont); the engine
+    # default is the approx_percentile sketch — the bounded-memory shape
+    # that survives high-cardinality columns at 10^12 rows. Timed here so
+    # the production path has a number on record next to the oracle shape.
+    from preprocessor_spark.functions.analysis import mutual_information
+
+    _li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    mi_sketch_best = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        _consume(
+            mutual_information(
+                _li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", bins=8
+            )
+        )
+        dt = time.perf_counter() - t0
+        mi_sketch_best = dt if mi_sketch_best is None else min(mi_sketch_best, dt)
+    mi_sketch_seconds = round(mi_sketch_best, 3)
+
     # persisted-media multimodal shape (VERDICT r3 item 7b): the oracle
     # query re-derives the synthetic media table per stage (documented
     # oracle-only shape); production persists media ONCE partitioned by
@@ -285,6 +305,10 @@ def main() -> None:
             "featurized": n_feats,
             "seconds": mm_persisted_seconds,
             "rows_per_sec": round(2000 / max(mm_persisted_seconds, 1e-9)),
+        },
+        "mi_sketch": {
+            "seconds": mi_sketch_seconds,
+            "exact_oracle_shape_seconds": timings.get("mutual_info"),
         },
         "rollup": {
             "corpus_rows": n_rows,

@@ -82,6 +82,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--validate-only", action="store_true", help="load + validate input, no processing"
     )
     p.add_argument("--save-config", default=None, help="write the merged config as JSON")
+    # S8 remote HTTP config/log (reference app/main.py:18-67). The remote
+    # config takes the FILE layer's place in the precedence chain when both
+    # are given (defaults < remote < CLI flags), mirroring the reference.
+    p.add_argument(
+        "--remote-load-config", default=None, help="GET the config JSON from this URL"
+    )
+    p.add_argument(
+        "--remote-save-config",
+        default=None,
+        help="POST the merged (non-default) config to this URL after the run",
+    )
+    p.add_argument(
+        "--remote-log", default=None, help="POST config + run status to this URL"
+    )
+    p.add_argument("--remote-username", default=None)
+    p.add_argument("--remote-password", default=None)
     # legacy single-plugin mode (EP2)
     p.add_argument("--plugin", choices=LEGACY_PLUGINS, default=None)
     p.add_argument("--window-size", type=int, default=5)
@@ -107,7 +123,15 @@ def merge_config(args: argparse.Namespace) -> dict[str, Any]:
     from preprocessor_spark.core import DEFAULT_CONFIG
 
     cfg = dict(DEFAULT_CONFIG)
-    if args.config:
+    if getattr(args, "remote_load_config", None):
+        from preprocessor_spark.sources.remote import remote_load_config
+
+        remote = remote_load_config(
+            args.remote_load_config, args.remote_username, args.remote_password
+        )
+        if remote is not None:
+            cfg.update(remote)
+    elif args.config:
         with open(args.config) as f:
             cfg.update(json.load(f))
     if args.split_ratios:
@@ -186,6 +210,26 @@ def _legacy_operator(args: argparse.Namespace, cfg: dict):
     raise SystemExit(f"unknown plugin {name}")
 
 
+def _remote_post(args: argparse.Namespace, cfg: dict, result: dict) -> None:
+    """S8 post-run side channel (reference app/main.py:57-67): push the
+    merged config and the run result to the configured HTTP endpoints.
+    Failures print to stderr and never fail the job."""
+    if not (
+        getattr(args, "remote_save_config", None) or getattr(args, "remote_log", None)
+    ):
+        return
+    from preprocessor_spark.sources.remote import remote_log, remote_save_config
+
+    if args.remote_save_config:
+        remote_save_config(
+            cfg, args.remote_save_config, args.remote_username, args.remote_password
+        )
+    if args.remote_log:
+        remote_log(
+            cfg, result, args.remote_log, args.remote_username, args.remote_password
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = merge_config(args)
@@ -232,7 +276,9 @@ def main(argv: list[str] | None = None) -> int:
             os.path.join(args.output_dir, "output"),
             cfg["output_format"],
         )
-        print(json.dumps({"status": "done", "mode": "legacy", "plugin": args.plugin}))
+        result = {"status": "done", "mode": "legacy", "plugin": args.plugin}
+        print(json.dumps(result))
+        _remote_post(args, cfg, result)
         return 0
 
     # EP1 modern pipeline
@@ -244,16 +290,14 @@ def main(argv: list[str] | None = None) -> int:
         core.load_normalization_params(args.load_normalization_params)
     core.process()
     core.export(args.output_dir)
-    print(
-        json.dumps(
-            {
-                **{f"core_{k}": v for k, v in core.get_processing_status().items()},
-                "status": "done",
-                "mode": "pipeline",
-                "output_dir": args.output_dir,
-            }
-        )
-    )
+    result = {
+        **{f"core_{k}": v for k, v in core.get_processing_status().items()},
+        "status": "done",
+        "mode": "pipeline",
+        "output_dir": args.output_dir,
+    }
+    print(json.dumps(result, default=str))
+    _remote_post(args, cfg, result)
     return 0
 
 

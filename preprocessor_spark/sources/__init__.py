@@ -11,3 +11,9 @@ from preprocessor_spark.sources.iceberg import (  # noqa: F401
     configure_catalog,
     iceberg_available,
 )
+from preprocessor_spark.sources.remote import (  # noqa: F401
+    compose_config,
+    remote_load_config,
+    remote_log,
+    remote_save_config,
+)
