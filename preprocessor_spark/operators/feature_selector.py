@@ -17,8 +17,12 @@ Reference semantics:
     pyspark.ml LinearRegression with elastic-net penalty; output is again
     only a column list;
   * Granger selection (F5) is an unimplemented dead path in the reference
-    (plugin_feature_selector_pre.py:71-73 calls a method that does not
-    exist) — intentionally NOT built.
+    (plugin_feature_selector_pre.py:71-73 calls
+    ``_granger_causality_feature_selection``, a method that does not exist
+    in the file) — ``granger_select`` below implements what that name
+    promises: per-feature Granger causality F-tests against the target,
+    distributed (one chunked lag pass + fused Gram-matrix aggregates; the
+    only driver-side work is a (2·max_lag+1)² solve per feature).
 """
 
 from __future__ import annotations
@@ -227,3 +231,223 @@ def lasso_select(
     )
     model = lr.fit(vec.transform(df.na.drop(subset=[*feature_cols, label_col])))
     return [c for c, w in zip(feature_cols, model.coefficients) if abs(w) > 0.0]
+
+
+def _betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) via the standard modified-Lentz
+    continued fraction (Abramowitz & Stegun 26.5.8 / classic ``betacf``
+    scheme; no scipy in this environment). Accurate to ~1e-12 for the
+    moderate (a, b) an F-test produces."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    # symmetry: use the fast-converging side of the fraction
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc_reg(b, a, 1.0 - x)
+    ln_front = (
+        a * math.log(x)
+        + b * math.log1p(-x)
+        - math.log(a)
+        - (math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b))
+    )
+    tiny = 1e-300
+    c, d = 1.0, 1.0 - (a + b) * x / (a + 1.0)
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        # even step
+        num = m * (b - m) * x / ((a + m2 - 1.0) * (a + m2))
+        d = 1.0 + num * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + num / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        # odd step
+        num = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1.0))
+        d = 1.0 + num * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + num / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return math.exp(ln_front) * h
+
+
+def f_sf(f_stat: float, d1: float, d2: float) -> float:
+    """Survival function P(F > f) of the F(d1, d2) distribution:
+    I_{d2/(d2 + d1·f)}(d2/2, d1/2)."""
+    if f_stat <= 0.0:
+        return 1.0
+    return _betainc_reg(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f_stat))
+
+
+def granger_select(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    order_col: str,
+    max_lag: int = 5,
+    significance_level: float = 0.05,
+    chunk_rows: int = 1_000_000,
+    return_stats: bool = False,
+):
+    """F5: Granger-causality feature selection — keep features whose lags
+    1..max_lag significantly improve an autoregressive model of the target
+    (reference plugin_feature_selector_pre.py:71-73 names this method but
+    never shipped a body; parameters ``max_lag`` / ``significance_level``
+    follow its plugin_params, :16-17).
+
+    Per feature x, the classic nested-model F-test:
+
+      restricted:    y_t ~ 1 + y_{t-1..L}
+      unrestricted:  y_t ~ 1 + y_{t-1..L} + x_{t-1..L}
+      F = ((RSS_r − RSS_u)/L) / (RSS_u/(n − 2L − 1)),  p = F_sf(F; L, n−2L−1)
+
+    Distributed shape: ONE chunked lag pass builds every lag column
+    (exactly the ``lag() OVER (ORDER BY order_col)`` pairs at any
+    parallelism, via the same carry machinery as the ACF screen), then the
+    OLS normal equations come from fused sum/sum-of-product aggregates —
+    map-side combined, a few hundred doubles over the wire regardless of
+    row count. Only the (2L+1)×(2L+1) solves run on the driver. Rows with
+    any null among the used columns are dropped (complete-case, shared by
+    both models so the F-test is valid).
+
+    Returns the selected column list, or (selected, stats) when
+    ``return_stats`` — stats maps feature → {f_stat, p_value, n}.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from preprocessor_spark.operators.positions import (
+        BUCKETABLE_DTYPE_PREFIXES,
+        chunked_assignment,
+    )
+
+    L = int(max_lag)
+    if L < 1:
+        raise ValueError("max_lag must be >= 1")
+    used = [target_col, *feature_cols]
+    order_dtype = dict(df.dtypes)[order_col]
+    base = df.select(order_col, *[c for c in used if c != order_col])
+    lag_exprs = lambda w: [  # noqa: E731 — local shorthand
+        F.lag(c, k).over(w).alias(f"__{c}_l{k}")
+        for c in used
+        for k in range(1, L + 1)
+    ]
+    if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
+        chunked = chunked_assignment(
+            base, order_col, chunk_rows=chunk_rows, carry_rows=L
+        )
+        w = Window.partitionBy("__chunk").orderBy(order_col)
+        lagged = chunked.select(target_col, *feature_cols, "__aug", *lag_exprs(w))
+        lagged = lagged.filter(~F.col("__aug")).drop("__aug")
+    else:
+        w = Window.orderBy(order_col)
+        lagged = base.select(target_col, *feature_cols, *lag_exprs(w))
+    lag_cols = [f"__{c}_l{k}" for c in used for k in range(1, L + 1)]
+    lagged = lagged.na.drop(subset=[target_col, *lag_cols])
+
+    y = target_col
+    yl = [f"__{y}_l{k}" for k in range(1, L + 1)]
+
+    def _sums_for(cols_a: list[str], cols_b: list[str], sym: bool):
+        out = []
+        for i, a in enumerate(cols_a):
+            for j, b in enumerate(cols_b):
+                if sym and j < i:
+                    continue
+                out.append(
+                    F.sum(F.col(a) * F.col(b)).alias(f"s__{a}__{b}")
+                )
+        return out
+
+    # shared block: moments of [1, y lags] and the target
+    shared = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col(y) * F.col(y)).alias("syy"),
+        F.sum(y).alias("sy"),
+        *[F.sum(c).alias(f"s__{c}") for c in yl],
+        *_sums_for(yl, yl, sym=True),
+        *_sums_for(yl, [y], sym=False),
+    ]
+    # fuse features in groups so a single HashAggregate never carries an
+    # unbounded buffer/codegen width (same rationale as the 16-feature MI
+    # groups); each group is one scan of the cached lag frame
+    group_size = 4
+    groups = [
+        feature_cols[g : g + group_size]
+        for g in range(0, len(feature_cols), group_size)
+    ]
+    if len(groups) > 1:
+        lagged = lagged.persist()
+    rows = []
+    try:
+        for group in groups:
+            aggs = list(shared)
+            for c in group:
+                xl = [f"__{c}_l{k}" for k in range(1, L + 1)]
+                aggs += [F.sum(cc).alias(f"s__{cc}") for cc in xl]
+                aggs += _sums_for(xl, xl, sym=True)
+                aggs += _sums_for(xl, yl, sym=False)
+                aggs += _sums_for(xl, [y], sym=False)
+            rows.append((group, lagged.agg(*aggs).collect()[0]))
+    finally:
+        if len(groups) > 1:
+            lagged.unpersist()
+
+    def _gram(row, cols: list[str]):
+        """X'X, X'y for design [1, *cols] from the aggregate row."""
+        p = len(cols) + 1
+        xtx = np.zeros((p, p))
+        xty = np.zeros(p)
+        n = row["n"]
+        xtx[0, 0] = n
+        xty[0] = row["sy"]
+        for i, a in enumerate(cols, start=1):
+            xtx[0, i] = xtx[i, 0] = row[f"s__{a}"]
+            xty[i] = row[f"s__{a}__{y}"]
+            for j, b in enumerate(cols, start=1):
+                if j < i:
+                    continue
+                key = f"s__{a}__{b}" if f"s__{a}__{b}" in row else f"s__{b}__{a}"
+                xtx[i, j] = xtx[j, i] = row[key]
+        return xtx, xty
+
+    selected, stats = [], {}
+    for group, row in rows:
+        n = row["n"]
+        syy = row["syy"]
+        xtx_r, xty_r = _gram(row, yl)
+        beta_r = np.linalg.lstsq(xtx_r, xty_r, rcond=None)[0]
+        rss_r = max(syy - float(beta_r @ xty_r), 0.0)
+        for c in group:
+            xl = [f"__{c}_l{k}" for k in range(1, L + 1)]
+            xtx_u, xty_u = _gram(row, yl + xl)
+            beta_u = np.linalg.lstsq(xtx_u, xty_u, rcond=None)[0]
+            rss_u = max(syy - float(beta_u @ xty_u), 0.0)
+            dof = n - (2 * L + 1)
+            if dof <= 0 or rss_u <= 0.0:
+                f_stat, p = float("inf"), 0.0
+            else:
+                f_stat = ((rss_r - rss_u) / L) / (rss_u / dof)
+                f_stat = max(f_stat, 0.0)
+                p = f_sf(f_stat, L, dof)
+            stats[c] = {"f_stat": f_stat, "p_value": p, "n": int(n)}
+            if p < significance_level:
+                selected.append(c)
+    return (selected, stats) if return_stats else selected

@@ -224,3 +224,137 @@ def test_three_way_split(spark):
     out = sp.transform(df).groupBy("split_id").count().collect()
     counts = {r["split_id"]: r["count"] for r in out}
     assert counts == {"d1": 20, "d2": 60, "d3": 20}
+
+
+# -- F5 Granger causality ---------------------------------------------------
+
+
+def test_betainc_closed_forms():
+    from preprocessor_spark.operators.feature_selector import _betainc_reg, f_sf
+
+    # I_x(1, b) = 1 - (1-x)^b exactly
+    for b in (0.5, 1.0, 3.0, 10.0):
+        for x in (0.01, 0.3, 0.7, 0.99):
+            assert _betainc_reg(1.0, b, x) == pytest.approx(
+                1.0 - (1.0 - x) ** b, abs=1e-12
+            )
+    # symmetry I_x(a,b) + I_{1-x}(b,a) = 1
+    for a, b, x in [(2.5, 7.0, 0.2), (0.5, 0.5, 0.42), (6.0, 3.0, 0.8)]:
+        assert _betainc_reg(a, b, x) + _betainc_reg(b, a, 1 - x) == pytest.approx(
+            1.0, abs=1e-12
+        )
+    # arcsine median: I_0.5(0.5, 0.5) = 0.5
+    assert _betainc_reg(0.5, 0.5, 0.5) == pytest.approx(0.5, abs=1e-12)
+    # F(2, d2) survival has the closed form (1 + 2f/d2)^(-d2/2)
+    for d2 in (4, 10, 30):
+        for f in (0.5, 1.0, 3.0, 10.0):
+            assert f_sf(f, 2, d2) == pytest.approx(
+                (1.0 + 2.0 * f / d2) ** (-d2 / 2.0), rel=1e-10
+            )
+    assert f_sf(0.0, 5, 10) == 1.0
+    assert f_sf(1e6, 5, 10) < 1e-9
+
+
+def _granger_numpy_oracle(pdf, feature, target, max_lag):
+    """Same nested-model F-test with explicit numpy lag matrices."""
+    y = pdf[target].to_numpy()
+    x = pdf[feature].to_numpy()
+    n_all = len(y)
+    rows = []
+    for t in range(max_lag, n_all):
+        rows.append(
+            (
+                y[t],
+                [1.0]
+                + [y[t - k] for k in range(1, max_lag + 1)]
+                + [x[t - k] for k in range(1, max_lag + 1)],
+            )
+        )
+    yt = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows])
+    Xr = X[:, : max_lag + 1]
+    br = np.linalg.lstsq(Xr, yt, rcond=None)[0]
+    bu = np.linalg.lstsq(X, yt, rcond=None)[0]
+    rss_r = float(((yt - Xr @ br) ** 2).sum())
+    rss_u = float(((yt - X @ bu) ** 2).sum())
+    dof = len(yt) - (2 * max_lag + 1)
+    return ((rss_r - rss_u) / max_lag) / (rss_u / dof)
+
+
+def test_granger_select_matches_numpy_oracle(spark):
+    from preprocessor_spark.operators.feature_selector import f_sf, granger_select
+
+    n, L = 400, 3
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, n)
+    z = rng.normal(0, 1, n)  # independent — must not be selected
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.4 * y[t - 1] + (0.8 * x[t - 3] if t >= 3 else 0.0) + rng.normal(
+            0, 0.3
+        )
+    pdf = pd.DataFrame({"t": np.arange(n), "y": y, "x": x, "z": z})
+    df = spark.createDataFrame(pdf)
+    selected, stats = granger_select(
+        df, ["x", "z"], "y", "t", max_lag=L, return_stats=True
+    )
+    assert selected == ["x"]
+    assert stats["x"]["p_value"] < 1e-6
+    assert stats["z"]["p_value"] > 0.05
+    assert stats["x"]["n"] == n - L
+    for feat in ("x", "z"):
+        f_ref = _granger_numpy_oracle(pdf.sort_values("t"), feat, "y", L)
+        assert stats[feat]["f_stat"] == pytest.approx(f_ref, rel=1e-6)
+        assert stats[feat]["p_value"] == pytest.approx(
+            f_sf(f_ref, L, (n - L) - (2 * L + 1)), rel=1e-6, abs=1e-12
+        )
+
+
+def test_granger_select_parallelism_and_chunk_invariant(spark):
+    """The chunked lag pass must reproduce the global-window lag pairs at
+    any parallelism and chunk size (carry machinery exactness)."""
+    from preprocessor_spark.operators.feature_selector import granger_select
+
+    n, L = 300, 2
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, n)
+    y = np.concatenate([[0.0], 0.9 * x[:-1]]) + rng.normal(0, 0.1, n)
+    pdf = pd.DataFrame({"t": np.arange(n), "y": y, "x": x})
+    base = spark.createDataFrame(pdf)
+    results = []
+    for parts, chunk in [(1, 10**6), (8, 50), (3, 17)]:
+        _, stats = granger_select(
+            base.repartition(parts),
+            ["x"],
+            "y",
+            "t",
+            max_lag=L,
+            chunk_rows=chunk,
+            return_stats=True,
+        )
+        results.append(stats["x"]["f_stat"])
+    assert results[0] == pytest.approx(results[1], rel=1e-9)
+    assert results[0] == pytest.approx(results[2], rel=1e-9)
+
+
+def test_granger_select_feature_group_fusion(spark):
+    """>4 features exercises the multi-group (cached lag frame) path; the
+    per-feature stats must not depend on which group a feature lands in."""
+    from preprocessor_spark.operators.feature_selector import granger_select
+
+    n, L = 250, 2
+    rng = np.random.default_rng(23)
+    cols = {f"f{i}": rng.normal(0, 1, n) for i in range(6)}
+    y = np.concatenate([[0.0], 0.9 * cols["f5"][:-1]]) + rng.normal(0, 0.1, n)
+    pdf = pd.DataFrame({"t": np.arange(n), "y": y, **cols})
+    df = spark.createDataFrame(pdf)
+    feats = [f"f{i}" for i in range(6)]
+    sel_all, stats_all = granger_select(
+        df, feats, "y", "t", max_lag=L, return_stats=True
+    )
+    assert "f5" in sel_all
+    # same feature alone (single group) gives identical numbers
+    _, stats_one = granger_select(df, ["f5"], "y", "t", max_lag=L, return_stats=True)
+    assert stats_all["f5"]["f_stat"] == pytest.approx(
+        stats_one["f5"]["f_stat"], rel=1e-9
+    )
