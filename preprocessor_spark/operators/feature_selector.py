@@ -295,6 +295,48 @@ def f_sf(f_stat: float, d1: float, d2: float) -> float:
     return _betainc_reg(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f_stat))
 
 
+def granger_lag_frame(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    order_col: str,
+    max_lag: int,
+    chunk_rows: int = 1_000_000,
+) -> DataFrame:
+    """Complete-case lag frame shared by the Granger F-test: every used
+    column's lags 1..max_lag via the chunked carry window (exact
+    ``lag() OVER (ORDER BY order_col)`` semantics at any parallelism;
+    non-bucketable order dtypes fall back to the global window)."""
+    from pyspark.sql import Window
+
+    from preprocessor_spark.operators.positions import (
+        BUCKETABLE_DTYPE_PREFIXES,
+        chunked_assignment,
+    )
+
+    L = int(max_lag)
+    used = [target_col, *feature_cols]
+    base = df.select(order_col, *[c for c in used if c != order_col])
+    lag_exprs = lambda w: [  # noqa: E731 — local shorthand
+        F.lag(c, k).over(w).alias(f"__{c}_l{k}")
+        for c in used
+        for k in range(1, L + 1)
+    ]
+    order_dtype = dict(df.dtypes)[order_col]
+    if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
+        chunked = chunked_assignment(
+            base, order_col, chunk_rows=chunk_rows, carry_rows=L
+        )
+        w = Window.partitionBy("__chunk").orderBy(order_col)
+        lagged = chunked.select(target_col, *feature_cols, "__aug", *lag_exprs(w))
+        lagged = lagged.filter(~F.col("__aug")).drop("__aug")
+    else:
+        w = Window.orderBy(order_col)
+        lagged = base.select(target_col, *feature_cols, *lag_exprs(w))
+    lag_cols = [f"__{c}_l{k}" for c in used for k in range(1, L + 1)]
+    return lagged.na.drop(subset=[target_col, *lag_cols])
+
+
 def granger_select(
     df: DataFrame,
     feature_cols: list[str],
@@ -331,37 +373,11 @@ def granger_select(
     """
     import numpy as np
 
-    from pyspark.sql import Window
-
-    from preprocessor_spark.operators.positions import (
-        BUCKETABLE_DTYPE_PREFIXES,
-        chunked_assignment,
-    )
-
     L = int(max_lag)
     if L < 1:
         raise ValueError("max_lag must be >= 1")
+    lagged = granger_lag_frame(df, feature_cols, target_col, order_col, L, chunk_rows)
     used = [target_col, *feature_cols]
-    order_dtype = dict(df.dtypes)[order_col]
-    base = df.select(order_col, *[c for c in used if c != order_col])
-    lag_exprs = lambda w: [  # noqa: E731 — local shorthand
-        F.lag(c, k).over(w).alias(f"__{c}_l{k}")
-        for c in used
-        for k in range(1, L + 1)
-    ]
-    if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
-        chunked = chunked_assignment(
-            base, order_col, chunk_rows=chunk_rows, carry_rows=L
-        )
-        w = Window.partitionBy("__chunk").orderBy(order_col)
-        lagged = chunked.select(target_col, *feature_cols, "__aug", *lag_exprs(w))
-        lagged = lagged.filter(~F.col("__aug")).drop("__aug")
-    else:
-        w = Window.orderBy(order_col)
-        lagged = base.select(target_col, *feature_cols, *lag_exprs(w))
-    lag_cols = [f"__{c}_l{k}" for c in used for k in range(1, L + 1)]
-    lagged = lagged.na.drop(subset=[target_col, *lag_cols])
-
     y = target_col
     yl = [f"__{y}_l{k}" for k in range(1, L + 1)]
 

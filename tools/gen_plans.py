@@ -185,6 +185,39 @@ add(
     "refresh rests on; no join, no sort.",
 )
 
+
+def _granger_gram_plan():
+    from preprocessor_spark.operators.feature_selector import granger_lag_frame
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("y"),
+            F.avg("value").alias("x"),
+        )
+    )
+    lagged = granger_lag_frame(ev, ["x"], "y", "b", max_lag=2, chunk_rows=500)
+    yl = ["__y_l1", "__y_l2"]
+    xl = ["__x_l1", "__x_l2"]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for a in [*yl, *xl, "y"]:
+        aggs.append(F.sum(a).alias(f"s__{a}"))
+        for b in [*yl, *xl, "y"]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s__{a}__{b}"))
+    return lagged.agg(*aggs)
+
+
+add(
+    "Granger Gram-matrix aggregate (granger_select)",
+    _granger_gram_plan(),
+    "The nested-model F-test's normal equations are fused sum/sum-of-\n"
+    "product lanes in ONE partial+final HashAggregate over the chunked lag\n"
+    "window — the only wide exchange is the (chunk) window sort itself;\n"
+    "what crosses the final-merge wire is a few hundred doubles regardless\n"
+    "of row count, and the (2L+1)-square solves run on the driver.",
+)
+
 with open("/root/repo/docs/PLANS.md", "w") as f:
     f.write("# Physical-plan evidence\n\n")
     f.write(
