@@ -134,11 +134,13 @@ def chunked_assignment(
     df: DataFrame,
     order_col: str,
     series_cols: list[str] | None = None,
-    chunk_rows: int = 1_000_000,
+    chunk_rows: int | None = 1_000_000,
     carry_rows: int = 0,
 ) -> DataFrame:
     """Assign each row of a (series, time)-ordered table to a ~chunk_rows-row
-    chunk, optionally feeding each chunk's trailing ``carry_rows`` rows to the
+    chunk (``chunk_rows=None`` auto-sizes from the collected bucket counts:
+    ~4 chunks per core for the largest series, capped at 1M rows/chunk),
+    optionally feeding each chunk's trailing ``carry_rows`` rows to the
     NEXT chunk as flagged duplicates — the shared scale machinery behind every
     sequential-window operator (MA unbias W1, the ACF lag screen W14): a
     window partitioned by (series, ``__chunk``) then has parallelism
@@ -180,13 +182,26 @@ def chunked_assignment(
     ).cast("int")
     counts = df.groupBy(*series_cols, bucket.alias("__bkt")).count().collect()
     # every chunk must hold at least carry_rows rows so a successor's head
-    # context is fully covered by ONE predecessor's tail
-    chunk_rows = max(chunk_rows, carry_rows, 1)
     by_series: dict[tuple, list] = {}
     for r in counts:
         by_series.setdefault(tuple(r[c] for c in series_cols), []).append(
             (r["__bkt"], r["count"])
         )
+    if chunk_rows is None:
+        # auto: size chunks so the LARGEST series yields ~4 window tasks
+        # per core (measured: a 5M-row single-series lag pass is ~2x faster
+        # at 64-128 chunks than at the 5 the 1M default gives — and flat
+        # across that band), capped at the 1M manual default so huge inputs
+        # keep bounded per-task sorts. The counts are already driver-side,
+        # so this costs nothing extra.
+        biggest = max(
+            (sum(cnt for _, cnt in bl) for bl in by_series.values()),
+            default=1,
+        )
+        chunk_rows = min(1_000_000, max(biggest // (cores * 4), 16_384))
+    # every chunk must hold at least carry_rows rows so a successor's head
+    # context is fully covered by ONE predecessor's tail
+    chunk_rows = max(chunk_rows, carry_rows, 1)
     assign_rows = []  # (*series, bkt, chunk, feeds-next-chunk tail flag)
     for key, bl in by_series.items():
         bl.sort()
