@@ -38,6 +38,14 @@ _DEFAULT_CONFS = {
     # part of the N→4N efficiency gap); off-heap vectors take the decode
     # path out of the young-gen churn.
     "spark.sql.columnVector.offheap.enabled": "true",
+    # Whole-stage codegen bails out above this many fields (default 100),
+    # silently dropping wide fused aggregates (cols×stats describe lanes,
+    # cols×lags corr screens, Granger Gram sums) onto the interpreted
+    # path — measured 6x slower on a 230-expression sum-of-products agg at
+    # 5M rows. The engine's wide plans are many SMALL expressions, which
+    # compile fine (verified to 351); janino's 64KB method limit still
+    # guards the giant-single-expression case independently.
+    "spark.sql.codegen.maxFields": "400",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
