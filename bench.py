@@ -342,6 +342,28 @@ def main() -> None:
             )
             if k in s
         }
+        if s.get("phase") == "rollup":
+            # the rollup-phase harness wall is dominated by per-run fixed
+            # overhead (session, resume-read, counts); efficiency_total is
+            # a wall ratio, not whole-job efficiency — see BENCH/BASELINE.md
+            note = "harness wall ratio (rollup-phase mode; overhead-dominated)"
+            whole = []
+            for name, label in (
+                ("scaling_full.json", "full-phase"),
+                ("scaling_standalone.json", "standalone-balanced"),
+            ):
+                p = os.path.join(os.path.dirname(scaling_path), name)
+                if os.path.exists(p):
+                    try:
+                        with open(p) as f:
+                            tot = json.load(f).get("efficiency_total")
+                        if tot is not None:
+                            whole.append(f"{tot} {label}")
+                    except (ValueError, OSError):
+                        pass
+            if whole:
+                note += ". Whole-job efficiency: " + ", ".join(whole)
+            out["scaling_evidence"]["efficiency_total_note"] = note
     # literal two-cluster-sizes evidence (standalone executor JVMs), when
     # measured — tools/scaling_bench.py --cluster standalone
     standalone_path = os.path.join(

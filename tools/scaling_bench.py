@@ -645,6 +645,62 @@ def _fmt_rate(v):
     return f"{v:,}" if v else "null (stage resumed)"
 
 
+def _total_eff_sentence(summary, rN, args):
+    """Render efficiency_total with an honest label.
+
+    In rollup-phase mode the 'total wall' includes everything the harness
+    does around the one timed tier recompute — session launch, resume-read
+    of the staged prepared series, counts, manifests — fixed overhead a
+    short one-shot run cannot amortize, so the wall ratio is NOT a
+    whole-job efficiency (at 10^12 rows the tier phases are hours and the
+    overhead is seconds). Label it as a harness wall ratio and cite the
+    protocols that DO time the whole job (full-phase, standalone-balanced)
+    so a rollup-phase rerun never prints an overhead artifact as the
+    whole-job number.
+    """
+    if args.phase != "rollup" or args.cluster != "local":
+        return (
+            f"whole-job efficiency {summary['efficiency_total']}"
+            " (includes fixed per-job overhead: session, counts, manifests)."
+        )
+    timed = sum(
+        t.get("seconds", 0) + t.get("bounds_seconds", 0)
+        for t in rN["tiers"].values()
+    )
+    pct = (
+        f"{100 * timed / rN['total_seconds']:.0f}%"
+        if rN.get("total_seconds")
+        else "a minority"
+    )
+    refs = []
+    for name, doc in (
+        ("scaling_full.json", "BENCH/FULLPHASE.md"),
+        ("scaling_standalone.json", "BENCH/STANDALONE.md"),
+    ):
+        p = os.path.join(REPO, "BENCH", name)
+        if os.path.exists(p):
+            try:
+                tot = json.load(open(p)).get("efficiency_total")
+                if tot is not None:
+                    refs.append(f"{tot} ({doc})")
+            except (ValueError, OSError):
+                pass
+    cite = (
+        "; whole-job efficiency where the whole job is timed: "
+        + ", ".join(refs)
+        if refs
+        else ""
+    )
+    return (
+        f"harness wall ratio {summary['efficiency_total']} — not a"
+        f" whole-job figure in rollup-phase mode: the timed tier phases are"
+        f" only {pct} of the N-side wall, the remainder per-run fixed"
+        " overhead (session launch, resume-read of the staged prepared"
+        " series, counts, manifests) that amortizes to zero on the"
+        f" hours-long 10^12-scale job{cite}."
+    )
+
+
 def write_report(summary, rN, r4N, args):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # BASELINE.md is the headline (local rollup-phase) report; full-phase
@@ -743,8 +799,7 @@ def write_report(summary, rN, r4N, args):
         f" (criterion ≥ 0.8 → {'PASS' if summary['efficiency_rollup'] >= 0.8 else 'MISS'});"
         f" preprocessing stage efficiency "
         f"{summary['efficiency_prepare'] if summary['efficiency_prepare'] is not None else 'n/a (rollup-phase mode; see full-phase run)'};"
-        f" whole-job efficiency {summary['efficiency_total']}"
-        " (includes fixed per-job overhead: session, counts, manifests).",
+        f" {_total_eff_sentence(summary, rN, args)}",
         "",
         "## Per retention tier (points/sec = tier input points / tier seconds)",
         "",
