@@ -421,6 +421,14 @@ def simhash_blocking_plan(
     from itertools import combinations
     from math import comb
 
+    if not 0 <= int(max_hamming) <= 59:
+        # s must satisfy s > max_hamming with s | 60, so 59 is the largest
+        # radius any pigeonhole plan over a 60-bit signature can serve;
+        # negative radii would silently emit zero blocking subsets
+        raise ValueError(
+            f"max_hamming must be in [0, 59] for a 60-bit simhash, got "
+            f"{max_hamming}"
+        )
     divisors = (1, 2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60)
     best = None
     for s in divisors:

@@ -331,9 +331,11 @@ def decode_image_any(data: bytes) -> "np.ndarray":
     if data[:8] == _PNG_SIG:
         try:
             arr = decode_png(data)
-        except (ValueError, struct.error) as exc:
-            # struct.error = truncated/corrupt chunk framing — same
-            # "this codec can't take it" signal as ValueError
+        except (ValueError, struct.error, zlib.error) as exc:
+            # struct.error = truncated/corrupt chunk framing, zlib.error =
+            # truncated/corrupt IDAT deflate stream (chunk CRCs can pass while
+            # the concatenated stream is cut short) — same "this codec can't
+            # take it" signal as ValueError
             if not HAVE_PIL:  # unsupported PNG subformat, nothing to fall to
                 raise ValueError(f"undecodable PNG payload: {exc}") from exc
         else:

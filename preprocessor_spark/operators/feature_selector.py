@@ -96,12 +96,12 @@ class FeatureSelector:
             return []
         order = self.keep_cols[0] if self.keep_cols else num[0]
         from preprocessor_spark.operators.positions import (
-            BUCKETABLE_DTYPE_PREFIXES,
             chunked_assignment,
+            is_bucketable_dtype,
         )
 
         order_dtype = dict(df.dtypes)[order]
-        if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
+        if is_bucketable_dtype(order_dtype):
 
             chunked = chunked_assignment(
                 df.select(order, *num) if order not in num else df.select(*num),
@@ -310,8 +310,8 @@ def granger_lag_frame(
     from pyspark.sql import Window
 
     from preprocessor_spark.operators.positions import (
-        BUCKETABLE_DTYPE_PREFIXES,
         chunked_assignment,
+        is_bucketable_dtype,
     )
 
     L = int(max_lag)
@@ -323,7 +323,7 @@ def granger_lag_frame(
         for k in range(1, L + 1)
     ]
     order_dtype = dict(df.dtypes)[order_col]
-    if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
+    if is_bucketable_dtype(order_dtype):
         chunked = chunked_assignment(
             base, order_col, chunk_rows=chunk_rows, carry_rows=L
         )

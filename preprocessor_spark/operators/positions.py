@@ -24,11 +24,23 @@ from pyspark.sql import types as T
 
 # dtypes whose values _encode_lead can turn into a bucketable double —
 # the gate callers (Trimmer positional drops, the ACF lag screen) use to
-# choose between this machinery and a single-partition ordered window
+# choose between this machinery and a single-partition ordered window.
+# NOTE: "interval day to second" also startswith("int"), but intervals are
+# NOT castable to double — is_bucketable_dtype below excludes them; use it
+# rather than a raw startswith against this tuple.
 BUCKETABLE_DTYPE_PREFIXES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
     "decimal", "timestamp", "date",
 )
+
+
+def is_bucketable_dtype(dtype: str) -> bool:
+    """True when _encode_lead can turn this Spark simpleString dtype into a
+    bucketable double (plain startswith would wrongly admit interval types
+    via the "int" prefix)."""
+    return not dtype.startswith("interval") and dtype.startswith(
+        BUCKETABLE_DTYPE_PREFIXES
+    )
 
 
 def _encode_lead(df: DataFrame, lead: str):

@@ -53,11 +53,11 @@ class Trimmer:
             out = out.drop(*drop_names)
         if self.rows:
             from preprocessor_spark.operators.positions import (
-                BUCKETABLE_DTYPE_PREFIXES,
+                is_bucketable_dtype,
             )
 
             order_dtype = dict(df.dtypes).get(self.order_col, "")
-            if order_dtype.startswith(BUCKETABLE_DTYPE_PREFIXES):
+            if is_bucketable_dtype(order_dtype):
                 # scale path: distributed 0-based positions (value-bucketed
                 # two-pass, see operators/positions.py) — no single-partition
                 # window even on a 10^9-row table

@@ -236,6 +236,34 @@ def main(argv: list[str] | None = None) -> dict:
             k=w_size - 1,
         )
         tail_bootstrap = True
+    # Tail-at-edge validation: the carry rows MUST be the last rows of the
+    # absorbed series, i.e. per-source max(ts) == the stored bounds edge.
+    # Catches a tail left stale by a fresh rollup_job rebuild into the same
+    # output dir, and a bootstrap from an --input that predates already
+    # absorbed deltas (e.g. after a crashed swap destroyed the tail) —
+    # either would silently seed the MA seam with wrong predecessors.
+    tail_edge = {
+        r[0]: int(r[1])
+        for r in tail_raw.groupBy("source")
+        .agg(F.unix_timestamp(F.max("ts")).cast("long").alias("t1"))
+        .collect()
+    }
+    bounds_edge = {r[0]: int(r[-1]) for r in old_bounds}
+    edge_mismatch = {
+        s: (tail_edge.get(s), e)
+        for s, e in bounds_edge.items()
+        if tail_edge.get(s) != e
+    }
+    if edge_mismatch:
+        raise ValueError(
+            "unbias carry tail does not sit at the stored series edge for "
+            f"{sorted(edge_mismatch)} (tail max vs series_bounds.json max "
+            f"epoch: {dict(sorted(edge_mismatch.items()))}); the tail is "
+            "stale (fresh rebuild into this output dir?) or bootstrapped "
+            "from a corpus that predates absorbed deltas — rebuild with "
+            "rollup_job, or restore the matching unbias tail, before "
+            "refreshing"
+        )
     # tails are raw rows: renormalizing them with the SAME params yields
     # exactly the values the original prepared store holds for them
     tail_z = norm.transform(
@@ -283,12 +311,18 @@ def main(argv: list[str] | None = None) -> dict:
         margin_s=1 << 62,  # tail ∪ delta is small; skip the margin dance
     )
     tmp_tail = tail_path + ".tmp"
+    bak_tail = tail_path + ".bak"
     new_tail.coalesce(1).write.mode("overwrite").parquet(tmp_tail)
-    if os.path.exists(tail_path):
-        import shutil
+    # two atomic renames, never an unlink of the only copy: a crash in the
+    # window between them leaves the old tail intact at .bak (the previous
+    # rmtree-then-replace destroyed it before the new one landed)
+    import shutil
 
-        shutil.rmtree(tail_path)
+    shutil.rmtree(bak_tail, ignore_errors=True)
+    if os.path.exists(tail_path):
+        os.replace(tail_path, bak_tail)
     os.replace(tmp_tail, tail_path)
+    shutil.rmtree(bak_tail, ignore_errors=True)
 
     # -- tier refresh (dense: the job's tiers are gap-filled) --------------
     # the refreshed series is the prepared one; its event time re-enters

@@ -115,6 +115,21 @@ def main(argv: list[str] | None = None) -> dict:
         # recompute and leave stale tier data inconsistent with the newly
         # fitted params/prepared series; rotate, don't delete (audit trail)
         os.replace(manifest_path, manifest_path + ".prev")
+    if not args.resume:
+        # refresh_job's MA-carry sidecar belongs to the PREVIOUS build's
+        # prepared series: left in place, the next refresh would silently
+        # continue the unbias seam from stale carry rows (wrong
+        # predecessors for the first w-1 delta rows per source). Rotate it
+        # with the manifest; a post-rebuild refresh re-bootstraps via
+        # --input, whose edge then matches the rebuilt series_bounds.json.
+        import shutil as _shutil
+
+        tail_sidecar = os.path.join(out, "unbias_tail.parquet")
+        if os.path.exists(tail_sidecar):
+            _shutil.rmtree(tail_sidecar + ".prev", ignore_errors=True)
+            os.replace(tail_sidecar, tail_sidecar + ".prev")
+        for leftover in (tail_sidecar + ".tmp", tail_sidecar + ".bak"):
+            _shutil.rmtree(leftover, ignore_errors=True)
     manifest = Manifest(manifest_path)
 
     t_start = time.perf_counter()

@@ -97,14 +97,45 @@ def with_bucket_day(tier_df: DataFrame) -> DataFrame:
 def _partition_predicate(partition_cols: list[str], tuples: list[tuple]):
     """OR-of-AND equality predicate over the affected partition tuples —
     the shape Spark's parquet partition pruning eliminates directories
-    with. Falls back to per-column isin (a prunable superset; still exact
-    after the union+reagg since superset rows round-trip unchanged) when
-    the tuple list is too long to inline into one predicate."""
-    if len(tuples) > 1024:
-        preds = [
-            F.col(c).isin([t[i] for t in tuples])
-            for i, c in enumerate(partition_cols)
-        ]
+    with. Past the inline cap, tuples are grouped by their prefix (all
+    columns but the last) into prefix-AND + last-column-isin terms — still
+    EXACT (the cross-product per-column isin would inflate both the read
+    and the dynamic-overwrite rewrite to |sources|x|days| on a sparse
+    touched set, reintroducing the O(corpus-age) rewrite this module
+    exists to avoid). Only the extreme case (more distinct prefixes than
+    the term budget) degrades to the per-column-isin superset, which stays
+    correct because superset rows round-trip unchanged through the
+    union+reagg."""
+    if len(tuples) > 1024 and len(partition_cols) > 1:
+        groups: dict[tuple, list] = {}
+        for t in tuples:
+            groups.setdefault(tuple(t[:-1]), []).append(t[-1])
+        if len(groups) <= 4096:
+            last = partition_cols[-1]
+            preds = [
+                reduce(
+                    lambda a, b: a | b,
+                    [
+                        reduce(
+                            lambda x, y: x & y,
+                            [
+                                F.col(c) == F.lit(v)
+                                for c, v in zip(partition_cols[:-1], pre)
+                            ],
+                        )
+                        & F.col(last).isin(vals)
+                        for pre, vals in groups.items()
+                    ],
+                )
+            ]
+        else:  # pragma: no cover - >4096 distinct prefixes
+            preds = [
+                F.col(c).isin(sorted({t[i] for t in tuples}))
+                for i, c in enumerate(partition_cols)
+            ]
+    elif len(tuples) > 1024:
+        # single partition column: the isin IS the exact touched set
+        preds = [F.col(partition_cols[0]).isin([t[0] for t in tuples])]
     else:
         preds = [
             reduce(
@@ -556,10 +587,14 @@ class IncrementalRollup:
     ) -> dict:
         """One write action for the whole tree: each tier's merged rows are
         tier-tagged and Hive-partitioned into a temp dir, then each touched
-        partition directory is moved into its tier's layout driver-side —
-        the resume/crash contract of run_resumable_observed_tiers (manifest
-        marked only after the moves; a crash in between recomputes
-        idempotently from the unchanged delta)."""
+        partition directory is moved into its tier's layout driver-side.
+        Manifest marks land only after the moves. NOTE the crash contract
+        differs from run_resumable_observed_tiers: a merge is NOT
+        idempotent (re-merging a delta into a partition that was already
+        moved would double-count it), so recovery from a crash mid-move
+        relies on the caller's double-apply guard (refresh_job's
+        started-without-completed mark refuses the rerun), not on
+        recomputation."""
         import shutil
 
         from pyspark.sql import Observation
@@ -628,7 +663,20 @@ class IncrementalRollup:
         tmp = os.path.join(self.root, "__refresh_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         obs = Observation("refresh_rows")
-        tagged = tagged.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # per-tier row counts from the ONE observation — stamping the
+        # whole-tree total into every tier's metrics/lineage would claim
+        # e.g. the 1d tier wrote 5m+1h+1d rows combined
+        tagged = tagged.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("__tier") == t.name, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(t.name)
+                for t in self.tree.tiers
+            ],
+        )
         # scoped static sizing for the one merge+write action: the shuffled
         # data is bounded by the touched partitions (driver-known), so AQE's
         # per-exchange materialize barriers are pure fixed cost here, and
@@ -656,7 +704,9 @@ class IncrementalRollup:
         finally:
             for k, v in conf_before.items():
                 spark.conf.set(k, v)
-        total_rows = int(obs.get["rows"] or 0)
+        tier_rows = {
+            t.name: int(obs.get[t.name] or 0) for t in self.tree.tiers
+        }
         depth = len(self.partition_cols)
         for tier in self.tree.tiers:
             src_root = os.path.join(tmp, f"__tier={tier.name}")
@@ -690,16 +740,22 @@ class IncrementalRollup:
             tup = touched[tier.name]
             if manifest is not None:
                 for t in tup:
+                    # rows = the TIER's written rows (the unfused path's
+                    # convention: per-partition marks carry tier totals);
+                    # seconds = the fused action's shared wall
                     manifest.mark(
                         f"refresh_{tier.name}",
                         "/".join(str(v) for v in t),
-                        rows=total_rows,
+                        rows=tier_rows[tier.name],
                         seconds=dt,
-                        kind="refresh",
+                        kind="refresh_fused",
                     )
             metrics[tier.name] = {
                 "partitions_rewritten": len(tup),
-                "rows_written": total_rows,
+                "rows_written": tier_rows[tier.name],
+                # the whole tree is one write action: this is the fused
+                # job's wall, shared across tiers, not a per-tier cost
                 "seconds": dt,
+                "fused": True,
             }
         return metrics

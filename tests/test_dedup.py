@@ -188,6 +188,17 @@ def test_simhash_blocking_plan_guarantee():
         else:
             assert c == s - k and len(subsets) == comb(s, c)
 
+    # the full supported radius works (fallback s=60, c=1)...
+    s, subsets = simhash_blocking_plan(59)
+    assert s == 60 and len(subsets) == 60
+    # ...and out-of-range radii fail loudly instead of a bare
+    # StopIteration (>=60) or silently emitting zero blocking rows (<0)
+    import pytest as pt
+
+    for bad in (-1, 60, 61):
+        with pt.raises(ValueError, match="max_hamming"):
+            simhash_blocking_plan(bad)
+
 
 def test_simhash_block_keys_collide_within_hamming(spark):
     """Pairs of signatures within max_hamming must share ≥1 (ci, cv) block

@@ -349,3 +349,55 @@ def test_merge_partials_is_reaggregation(spark, tree, corpus):
     _assert_tier_equal(
         _tiers_pdf(merged), _tiers_pdf(tree.base_aggregate(corpus, tier))
     )
+
+
+def test_fused_refresh_reports_per_tier_rows(spark, tree, corpus, tmp_path):
+    """Each tier's rows_written must be THAT tier's merged row count (the
+    unfused path's convention) — not the whole fused tree's total stamped
+    into every tier."""
+    root = str(tmp_path / "tree")
+    base = corpus.filter(F.col("ts") < CUT)
+    delta = corpus.filter(F.col("ts") >= CUT)
+    _write_base_tiers(spark, tree, base, root)
+    m = IncrementalRollup(tree, root).refresh(spark, delta, fused=True)
+    plain_root = str(tmp_path / "plain")
+    _write_base_tiers(spark, tree, base, plain_root)
+    mp = IncrementalRollup(tree, plain_root).refresh(spark, delta, fused=False)
+    for tier in TIERS:
+        assert m[tier.name]["rows_written"] == mp[tier.name]["rows_written"], (
+            tier.name,
+            m[tier.name],
+            mp[tier.name],
+        )
+        assert m[tier.name]["fused"] is True
+    # 5-minute buckets strictly outnumber hourly ones on this corpus
+    assert m["5m"]["rows_written"] > m["1h"]["rows_written"] > 0
+    total = sum(m[t.name]["rows_written"] for t in TIERS)
+    assert m["5m"]["rows_written"] < total
+
+
+def test_partition_predicate_exact_past_inline_cap(spark):
+    """>1024 touched (source, day) tuples: the predicate must match the
+    touched set EXACTLY (prefix-grouped isin), not the |sources|x|days|
+    cross product the old per-column-isin fallback matched — on a sparse
+    touched set the cross product inflates the refresh's read and rewrite
+    by orders of magnitude."""
+    from preprocessor_spark.rollup.incremental import _partition_predicate
+
+    import pandas as pd
+
+    sources = [f"s{i:03d}" for i in range(60)]
+    days = pd.date_range("2020-01-01", periods=60).date
+    # sparse diagonal band: 60 sources x ~20 days each = 1200 tuples
+    touched = [
+        (s, days[(i + j) % 60])
+        for i, s in enumerate(sources)
+        for j in range(20)
+    ]
+    assert len(touched) > 1024
+    full = spark.createDataFrame(
+        [(s, d) for s in sources for d in days], ["source", "bucket_day"]
+    )
+    pred = _partition_predicate(["source", "bucket_day"], touched)
+    got = full.filter(pred).count()
+    assert got == len(set(touched)) == 1200  # cross product would be 3600

@@ -120,3 +120,31 @@ def test_chunked_assignment_empty_and_all_null(spark):
     )
     out2 = chunked_assignment(allnull, "k", chunk_rows=10, carry_rows=2)
     assert out2.filter(~F.col("__aug")).count() == 5
+
+
+def test_is_bucketable_dtype_excludes_intervals(spark):
+    """'interval day to second'.startswith('int') is True — the raw prefix
+    tuple would misroute interval order keys into the scale path, where
+    cast('double') fails; the gate must exclude them (they fall back to
+    the legacy single-window path, which sorts intervals fine)."""
+    from preprocessor_spark.operators.positions import is_bucketable_dtype
+    from preprocessor_spark.operators.trimmer import Trimmer
+
+    for ok in ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "decimal(10,2)", "timestamp", "timestamp_ntz", "date"):
+        assert is_bucketable_dtype(ok), ok
+    for bad in ("interval day to second", "interval year to month",
+                "string", "binary", "array<int>"):
+        assert not is_bucketable_dtype(bad), bad
+
+    # end-to-end: positional drop ordered by an interval column must take
+    # the fallback window, not raise AnalysisException from the scale path
+    df = spark.range(5).select(
+        F.col("id"),
+        (F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("id"))).alias(
+            "iv"
+        ),
+    )
+    assert dict(df.dtypes)["iv"].startswith("interval")
+    out = Trimmer(rows=[0], order_col="iv").transform(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]

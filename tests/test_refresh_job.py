@@ -144,3 +144,46 @@ def test_refresh_requires_prior_run_state(spark, setup, tmp_path):
         refresh_job.main(
             ["--output", str(tmp_path / "nope"), "--delta-input", paths["delta1"]]
         )
+
+
+def test_fresh_rebuild_rotates_stale_tail(spark, setup, tmp_path):
+    """A fresh (non-resume) rollup_job into an output dir that previous
+    refreshes left a carry tail in must rotate that tail with the manifest
+    — left in place, the next refresh would continue the MA seam from
+    pre-rebuild carry rows (silent numeric corruption)."""
+    paths, out, _, _ = setup
+    rebuilt = str(tmp_path / "rebuilt")
+    shutil.copytree(out, rebuilt)
+    tail = os.path.join(rebuilt, "unbias_tail.parquet")
+    assert os.path.isdir(tail)  # the setup refreshes persisted one
+    rollup_job.main(["--input", paths["full"], "--output", rebuilt])
+    assert not os.path.exists(tail)
+    assert os.path.isdir(tail + ".prev")
+
+
+def test_tail_off_series_edge_is_refused(spark, setup, tmp_path):
+    """A carry tail whose per-source max(ts) is not the stored series edge
+    (stale rebuild leftovers, or a bootstrap from a corpus predating
+    absorbed deltas) must be refused — it would seed the MA seam with
+    wrong predecessors."""
+    paths, out, _, _ = setup
+    broken = str(tmp_path / "broken")
+    shutil.copytree(out, broken)
+    # doctor the tail back to the BASE corpus's edge (as if a crashed swap
+    # destroyed it and an operator re-bootstrapped from the original input)
+    stale = refresh_job.source_tails(
+        spark.read.parquet(paths["base"]).select("source", "ts", "doc_id", "n_tok"),
+        ["source"],
+        "ts",
+        ["doc_id"],
+        k=4,
+    )
+    tail = os.path.join(broken, "unbias_tail.parquet")
+    shutil.rmtree(tail)
+    stale.coalesce(1).write.parquet(tail)
+    delta3 = str(tmp_path / "delta3")
+    spark.read.parquet(paths["delta2"]).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 DAY")
+    ).write.parquet(delta3)
+    with pytest.raises(ValueError, match="series edge"):
+        refresh_job.main(["--output", broken, "--delta-input", delta3])

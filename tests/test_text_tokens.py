@@ -331,6 +331,53 @@ def test_png_codec_roundtrip_and_filters():
         mc.decode_image_any(trunc)
 
 
+def test_png_truncated_idat_is_a_codec_signal_not_a_crash():
+    """A PNG whose chunks are individually CRC-valid but whose concatenated
+    IDAT deflate stream is cut short raises zlib.error inside decode_png;
+    decode_image_any and the 'auto' featurizer must treat that as the
+    same not-decodable-here signal as ValueError/struct.error — NOT let it
+    escape and fail the whole Spark job."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as pt
+
+    from preprocessor_spark.functions import media_codecs as mc
+    import preprocessor_spark.functions.multimodal as mm
+
+    rng = np.random.default_rng(7)
+    png = mc.encode_png(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+
+    # re-frame the file with the IDAT deflate bytes cut in half, CRC
+    # recomputed over the truncated body so chunk framing stays valid
+    def chunks(buf):
+        off = 8
+        while off < len(buf):
+            (ln,) = struct.unpack(">I", buf[off : off + 4])
+            tag = buf[off + 4 : off + 8]
+            body = buf[off + 8 : off + 8 + ln]
+            yield tag, body
+            off += 12 + ln
+
+    out = bytearray(png[:8])
+    for tag, body in chunks(png):
+        if tag == b"IDAT":
+            body = body[: len(body) // 2]
+        out += struct.pack(">I", len(body)) + tag + body
+        out += struct.pack(">I", zlib.crc32(tag + body))
+    cut = bytes(out)
+
+    with pt.raises(zlib.error):
+        mc.decode_png(cut)  # the raw codec's contract is unchanged
+    # the dispatcher maps it to the documented ValueError (no PIL here)
+    # or decodes via PIL when available — never a raw zlib.error
+    if not mc.HAVE_PIL:
+        with pt.raises(ValueError):
+            mc.decode_image_any(cut)
+    assert mm._features_auto("image", cut)[1] == "fake"
+
+
 def test_multimodal_real_resize_and_frames(spark):
     """Real pixel resize re-encodes decodable BMPs at the target box; real
     frame extraction yields one standalone decodable BMP per frame."""

@@ -389,18 +389,39 @@ def main():
             strip_tiers(out)
 
     clusters: dict[int, StandaloneCluster] = {}
-    driver_cpus = {args.n: "28-29", 4 * args.n: "30-31"}
+    host_cpus = os.cpu_count() or 32
+    # drivers get the host's top 4 CPUs (28-31 on the 32-core sandbox) —
+    # disjoint from worker task cores [0, 5n) for any n this host can fit
+    driver_lo = host_cpus - 4
+    driver_cpus = {
+        args.n: f"{driver_lo}-{driver_lo + 1}",
+        4 * args.n: f"{driver_lo + 2}-{driver_lo + 3}",
+    }
+    if 5 * args.n > driver_lo:
+        raise SystemExit(
+            f"--n {args.n} needs task cores 0-{5 * args.n - 1} but driver "
+            f"cores start at {driver_lo} on this {host_cpus}-CPU host"
+        )
     if args.cluster == "standalone":
         offset = 0
-        # spare CPUs (one per worker JVM) come from a high range disjoint
-        # from worker task cores (0..5n-1) and driver cores (28-31)
-        spare_next = 16
+        # spare CPUs (one per worker JVM) come from the range ABOVE both
+        # clusters' task cores [0, 5n) and BELOW the driver cores — a
+        # fixed start (16) would overlap the 4N task cores once n > 3
+        spare_next = 5 * args.n
         for port, cpus in ((7077, args.n), (7078, 4 * args.n)):
             spares = None
             if args.service_spare:
                 n_workers = cpus // args.exec_cores
                 spares = list(range(spare_next, spare_next + n_workers))
                 spare_next += n_workers
+                if spare_next > driver_lo:
+                    raise SystemExit(
+                        f"--service-spare needs {spare_next - 5 * args.n} "
+                        f"spare CPUs above task cores 0-{5 * args.n - 1}, "
+                        f"but only {driver_lo - 5 * args.n} are free below "
+                        f"driver cores {driver_lo}-{host_cpus - 1}; reduce "
+                        "--n or raise --exec-cores"
+                    )
             clusters[cpus] = StandaloneCluster(
                 port,
                 list(range(offset, offset + cpus)),
