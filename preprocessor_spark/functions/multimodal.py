@@ -260,16 +260,16 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
 def _features_auto(modality: str, payload: bytes) -> tuple[list, str]:
     """'auto' per-row policy: real decode, hash fallback ONLY on the codec's
     not-an-in-house-format signals (``ValueError`` from magic/format checks,
-    ``struct.error`` from truncated headers, ``zlib.error`` from a
-    truncated/corrupt PNG IDAT stream). Any other exception is a decoder
-    bug and must surface, not degrade to content-blind features.
+    ``struct.error`` from truncated headers; a truncated PNG IDAT stream's
+    ``zlib.error`` is already mapped to ValueError inside
+    ``decode_image_any``). Any other exception is a decoder bug and must
+    surface, not degrade to content-blind features.
     Returns ``(features, backend_used)``."""
     import struct as _struct
-    import zlib as _zlib
 
     try:
         return _real_features(modality, payload).tolist(), "real"
-    except (ValueError, _struct.error, _zlib.error):
+    except (ValueError, _struct.error):
         return _fake_features(pd.Series([payload]))[0].tolist(), "fake"
 
 

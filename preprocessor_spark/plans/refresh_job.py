@@ -310,19 +310,15 @@ def main(argv: list[str] | None = None) -> dict:
         k=w_size - 1,
         margin_s=1 << 62,  # tail ∪ delta is small; skip the margin dance
     )
+    # NOTE: only MATERIALIZE the new tail here (the .tmp write) — the swap
+    # of tail_path itself must wait until after the tier refresh below:
+    # prepared_delta's lineage reads tail_path, and a cache-block loss
+    # during the tier refresh would recompute the unbias plan from
+    # whatever tail_path then holds. Swapping early would silently seed
+    # that recompute with the NEW tail (wrong MA predecessors).
     tmp_tail = tail_path + ".tmp"
     bak_tail = tail_path + ".bak"
     new_tail.coalesce(1).write.mode("overwrite").parquet(tmp_tail)
-    # two atomic renames, never an unlink of the only copy: a crash in the
-    # window between them leaves the old tail intact at .bak (the previous
-    # rmtree-then-replace destroyed it before the new one landed)
-    import shutil
-
-    shutil.rmtree(bak_tail, ignore_errors=True)
-    if os.path.exists(tail_path):
-        os.replace(tail_path, bak_tail)
-    os.replace(tmp_tail, tail_path)
-    shutil.rmtree(bak_tail, ignore_errors=True)
 
     # -- tier refresh (dense: the job's tiers are gap-filled) --------------
     # the refreshed series is the prepared one; its event time re-enters
@@ -372,6 +368,17 @@ def main(argv: list[str] | None = None) -> dict:
         compress_seconds = round(time.perf_counter() - t0, 3)
 
     prepared_delta.unpersist()
+    # swap the carry tail into place now that nothing can re-read the old
+    # one: two atomic renames, never an unlink of the only copy — a crash
+    # in the window between them leaves the old tail intact at .bak (the
+    # previous rmtree-then-replace destroyed it before the new one landed)
+    import shutil
+
+    shutil.rmtree(bak_tail, ignore_errors=True)
+    if os.path.exists(tail_path):
+        os.replace(tail_path, bak_tail)
+    os.replace(tmp_tail, tail_path)
+    shutil.rmtree(bak_tail, ignore_errors=True)
     manifest.mark("refresh_delta", fingerprint, rows=delta_rows)
     total = round(time.perf_counter() - t_start, 3)
     result = {

@@ -94,6 +94,18 @@ def with_bucket_day(tier_df: DataFrame) -> DataFrame:
     return tier_df.withColumn("bucket_day", F.to_date("bucket_start"))
 
 
+def _balanced_or(exprs: list):
+    """Pairwise (balanced) OR fold: a left-deep reduce() chain of thousands
+    of terms is a known driver StackOverflowError shape in Catalyst's
+    recursive expression rules; balancing keeps depth at log2(n)."""
+    while len(exprs) > 1:
+        exprs = [
+            exprs[i] | exprs[i + 1] if i + 1 < len(exprs) else exprs[i]
+            for i in range(0, len(exprs), 2)
+        ]
+    return exprs[0]
+
+
 def _partition_predicate(partition_cols: list[str], tuples: list[tuple]):
     """OR-of-AND equality predicate over the affected partition tuples —
     the shape Spark's parquet partition pruning eliminates directories
@@ -113,8 +125,7 @@ def _partition_predicate(partition_cols: list[str], tuples: list[tuple]):
         if len(groups) <= 4096:
             last = partition_cols[-1]
             preds = [
-                reduce(
-                    lambda a, b: a | b,
+                _balanced_or(
                     [
                         reduce(
                             lambda x, y: x & y,
@@ -125,7 +136,7 @@ def _partition_predicate(partition_cols: list[str], tuples: list[tuple]):
                         )
                         & F.col(last).isin(vals)
                         for pre, vals in groups.items()
-                    ],
+                    ]
                 )
             ]
         else:  # pragma: no cover - >4096 distinct prefixes
@@ -138,8 +149,7 @@ def _partition_predicate(partition_cols: list[str], tuples: list[tuple]):
         preds = [F.col(partition_cols[0]).isin([t[0] for t in tuples])]
     else:
         preds = [
-            reduce(
-                lambda a, b: a | b,
+            _balanced_or(
                 [
                     reduce(
                         lambda x, y: x & y,
@@ -149,7 +159,7 @@ def _partition_predicate(partition_cols: list[str], tuples: list[tuple]):
                         ],
                     )
                     for t in tuples
-                ],
+                ]
             )
         ]
     return reduce(lambda a, b: a & b, preds)
@@ -652,11 +662,15 @@ class IncrementalRollup:
             )
             tagged = merged if tagged is None else tagged.unionByName(merged)
         if tagged is None:
+            # same metrics shape as the non-empty path (incl. the fused
+            # flag) so consumers written against it don't KeyError on a
+            # no-op refresh
             return {
                 t.name: {
                     "partitions_rewritten": 0,
                     "rows_written": 0,
                     "seconds": 0.0,
+                    "fused": True,
                 }
                 for t in self.tree.tiers
             }

@@ -401,3 +401,15 @@ def test_partition_predicate_exact_past_inline_cap(spark):
     pred = _partition_predicate(["source", "bucket_day"], touched)
     got = full.filter(pred).count()
     assert got == len(set(touched)) == 1200  # cross product would be 3600
+
+
+def test_balanced_or_handles_thousands_of_terms(spark):
+    """A left-deep OR chain of thousands of terms can blow the driver
+    stack in Catalyst's recursive rules; the balanced fold must keep a
+    4096-term predicate analyzable."""
+    from preprocessor_spark.rollup.incremental import _balanced_or
+
+    pred = _balanced_or([F.lit(i == 4095) for i in range(4096)])
+    assert spark.range(1).filter(pred).count() == 1
+    pred_false = _balanced_or([F.lit(False) for _ in range(4096)])
+    assert spark.range(1).filter(pred_false).count() == 0

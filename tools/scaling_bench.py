@@ -347,6 +347,28 @@ def main():
     )
     args = ap.parse_args()
 
+    # CPU-shape validation up front, BEFORE any expensive setup (corpus
+    # generation, the phase-rollup prepare job) or any cluster JVM spawns:
+    # drivers get the host's top 4 CPUs, disjoint from worker task cores
+    # [0, 5n); service-spare CPUs must fit between the two ranges
+    host_cpus = os.cpu_count() or 32
+    driver_lo = host_cpus - 4
+    if 5 * args.n > driver_lo:
+        raise SystemExit(
+            f"--n {args.n} needs task cores 0-{5 * args.n - 1} but driver "
+            f"cores start at {driver_lo} on this {host_cpus}-CPU host"
+        )
+    if args.service_spare and args.cluster == "standalone":
+        spares_needed = (args.n + 4 * args.n) // args.exec_cores
+        if 5 * args.n + spares_needed > driver_lo:
+            raise SystemExit(
+                f"--service-spare needs {spares_needed} spare CPUs above "
+                f"task cores 0-{5 * args.n - 1}, but only "
+                f"{driver_lo - 5 * args.n} are free below driver cores "
+                f"{driver_lo}-{host_cpus - 1}; reduce --n or raise "
+                "--exec-cores"
+            )
+
     os.makedirs(args.workdir, exist_ok=True)
     pyfiles = make_pyfiles(os.path.join(args.workdir, "engine.zip"))
     suffix = f"_cap{args.len_cap}" if args.len_cap else ""
@@ -389,19 +411,12 @@ def main():
             strip_tiers(out)
 
     clusters: dict[int, StandaloneCluster] = {}
-    host_cpus = os.cpu_count() or 32
-    # drivers get the host's top 4 CPUs (28-31 on the 32-core sandbox) —
-    # disjoint from worker task cores [0, 5n) for any n this host can fit
-    driver_lo = host_cpus - 4
+    # drivers: top 4 host CPUs (28-31 on the 32-core sandbox) — shape
+    # already validated against task cores [0, 5n) right after argparse
     driver_cpus = {
         args.n: f"{driver_lo}-{driver_lo + 1}",
         4 * args.n: f"{driver_lo + 2}-{driver_lo + 3}",
     }
-    if 5 * args.n > driver_lo:
-        raise SystemExit(
-            f"--n {args.n} needs task cores 0-{5 * args.n - 1} but driver "
-            f"cores start at {driver_lo} on this {host_cpus}-CPU host"
-        )
     if args.cluster == "standalone":
         offset = 0
         # spare CPUs (one per worker JVM) come from the range ABOVE both
@@ -414,14 +429,6 @@ def main():
                 n_workers = cpus // args.exec_cores
                 spares = list(range(spare_next, spare_next + n_workers))
                 spare_next += n_workers
-                if spare_next > driver_lo:
-                    raise SystemExit(
-                        f"--service-spare needs {spare_next - 5 * args.n} "
-                        f"spare CPUs above task cores 0-{5 * args.n - 1}, "
-                        f"but only {driver_lo - 5 * args.n} are free below "
-                        f"driver cores {driver_lo}-{host_cpus - 1}; reduce "
-                        "--n or raise --exec-cores"
-                    )
             clusters[cpus] = StandaloneCluster(
                 port,
                 list(range(offset, offset + cpus)),
