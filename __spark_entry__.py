@@ -980,8 +980,12 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from preprocessor_spark.functions.similarity import lsh_topk
 
     e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return lsh_topk(e, list(q), k=10, num_planes=6, round_digits=4)
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None or qrow[0] is None:
+        # no (or null) query vector: an empty top-k, not a driver
+        # IndexError/TypeError (same guard as q_similarity_topk)
+        return e.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
+    return lsh_topk(e, list(qrow[0]), k=10, num_planes=6, round_digits=4)
 
 
 def q_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -1449,7 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_incremental": """
             SELECT event_type,
                    date_trunc('hour', ts) AS bucket_start,
-                   count(*) AS n_points,
+                   count(value) AS n_points,
                    round(sum(value), 4) AS sum_v,
                    round(sum(value * value), 4) AS sum_sq,
                    round(min(value), 6) AS min_v,

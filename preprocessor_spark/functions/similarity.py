@@ -477,6 +477,15 @@ def ivf_topk(
         .agg(F.min_by(emb_col, id_col).alias("centroid"))
         .collect()
     )
+    # a cell whose min_by row has a NULL embedding yields centroid=None —
+    # skip it (its members re-assign to the nearest real centroid) instead
+    # of a driver TypeError on the literal build below
+    cents = [r for r in cents if r["centroid"] is not None]
+    if not cents:
+        raise ValueError(
+            f"ivf_topk: no usable centroids — every sampled '{emb_col}' "
+            "was NULL"
+        )
     cents.sort(key=lambda r: r["__cell"])
     cell_ids = [r["__cell"] for r in cents]
     cent_lits = [

@@ -60,13 +60,18 @@ class Cleaner:
         ]
 
     # -- outliers ----------------------------------------------------------
-    def mask_outliers(self, df: DataFrame) -> DataFrame:
-        """|x − mean| > k·std → NULL (reference plugin_cleaner.py:128,135)."""
-        vals = self._values(df)
-        stats = df.agg(
+    def _fit_outlier_stats(self, df: DataFrame, vals: list[str]):
+        """One (mean, sample-std) aggregate shared by mask and drop — the
+        two variants must apply the SAME outlier definition."""
+        return df.agg(
             *[F.mean(c).alias(f"{c}__m") for c in vals],
             *[F.stddev_samp(c).alias(f"{c}__s") for c in vals],
         ).collect()[0]
+
+    def mask_outliers(self, df: DataFrame) -> DataFrame:
+        """|x − mean| > k·std → NULL (reference plugin_cleaner.py:128,135)."""
+        vals = self._values(df)
+        stats = self._fit_outlier_stats(df, vals)
         out = df
         for c in vals:
             m, s = stats[f"{c}__m"], stats[f"{c}__s"]
@@ -83,10 +88,7 @@ class Cleaner:
     def drop_outliers(self, df: DataFrame) -> DataFrame:
         """Filter rows outside k·std on any value column (P6)."""
         vals = self._values(df)
-        stats = df.agg(
-            *[F.mean(c).alias(f"{c}__m") for c in vals],
-            *[F.stddev_samp(c).alias(f"{c}__s") for c in vals],
-        ).collect()[0]
+        stats = self._fit_outlier_stats(df, vals)
         cond = F.lit(True)
         for c in vals:
             m, s = stats[f"{c}__m"], stats[f"{c}__s"]

@@ -94,7 +94,18 @@ class FeatureSelector:
         ]
         if not num:
             return []
-        order = self.keep_cols[0] if self.keep_cols else num[0]
+        if not self.keep_cols:
+            # the reference's ACF screen rides pandas row order; Spark has
+            # no implicit row order, so lag pairs need an explicit time
+            # key. Falling back to ordering by the first VALUE column
+            # would make corr(x, lag(x)) of the sorted column ~1 for every
+            # feature — a screen that selects everything on any input.
+            raise ValueError(
+                "lag_corr needs keep_cols[0] as the time/order column — "
+                "lag correlations over an unordered DataFrame are "
+                "meaningless"
+            )
+        order = self.keep_cols[0]
         from preprocessor_spark.operators.positions import (
             chunked_assignment,
             is_bucketable_dtype,

@@ -190,6 +190,14 @@ def text_column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFr
     ``mode`` is the DETERMINISTIC variant (smallest value on frequency
     ties) so results are engine- and parallelism-stable."""
     cols = columns or [c for c, t in df.dtypes if t == "string"]
+    if not cols:
+        # no string columns: an empty result with the contract schema, not
+        # an IndexError from rows[0]
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_unique bigint, mode_value string, "
+            "avg_length double",
+        )
     rows = []
     for c in cols:
         rows.append(

@@ -52,12 +52,20 @@ def split_counts(total: int, ratios: dict[str, float]) -> dict[str, int]:
     _calculate_split_indices (app/core/data_processor.py:313-350):
     floor allocation, remainder round-robin over ratio-descending keys
     (Python stable sort ⇒ d1..d6 insertion order breaks ties)."""
+    missing = [k for k in SPLIT_KEYS if k not in ratios]
+    if missing:
+        raise ValueError(
+            f"ratios must provide all six split keys; missing {missing}"
+        )
     counts = {k: int(total * ratios[k]) for k in SPLIT_KEYS}
     remainder = total - sum(counts.values())
     if remainder > 0:
-        sorted_keys = sorted(ratios.keys(), key=lambda k: ratios[k], reverse=True)
+        # sort over SPLIT_KEYS (not ratios.keys()): the stable sort then
+        # breaks ratio ties in canonical d1..d6 order regardless of the
+        # caller's dict insertion order — the rule the oracles hardcode
+        sorted_keys = sorted(SPLIT_KEYS, key=lambda k: ratios[k], reverse=True)
         for i in range(remainder):
-            counts[sorted_keys[i % 6]] += 1
+            counts[sorted_keys[i % len(sorted_keys)]] += 1
     assert sum(counts.values()) == total
     return counts
 
@@ -156,6 +164,17 @@ class TemporalSplitter:
         enc = _encode_lead(df, self.time_col)
         lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
         if lo is None:
+            # all-null encodings: only legitimate for an EMPTY table — a
+            # non-castable time column (e.g. string timestamps) would
+            # otherwise silently fit empty boundaries and label every row
+            # split_id=NULL downstream
+            if not df.isEmpty():
+                dtype = dict(df.dtypes)[self.time_col]
+                raise ValueError(
+                    f"fit_time_boundaries: time column '{self.time_col}' "
+                    f"(dtype {dtype}) encodes to NULL for every row — cast "
+                    "it to a timestamp/numeric type before fitting"
+                )
             return StageParams(
                 stage=self.name, method="temporal",
                 params={"ratios": self.ratios, "boundaries": {}},

@@ -34,16 +34,19 @@ from pyspark.sql import functions as F
 ALGEBRAIC = ("n_points", "sum_v", "sum_sq", "min_v", "max_v")
 
 
-def algebraic_aggs(value_col, count_nonnull: bool = False):
+def algebraic_aggs(value_col):
     """The five partial-aggregable statistics over raw facts — THE single
     definition shared by every batch aggregate here and the streaming tier
     (streaming/rollup_stream.py), so batch/stream interchangeability cannot
-    drift on a missed edit. ``count_nonnull`` counts only non-null values —
-    the spine-fused variants seed every expected bucket with a null-valued
-    row, which must register the bucket without inflating n_points."""
+    drift on a missed edit. ``n_points`` counts NON-NULL values (the
+    pandas/reference semantic): sum_v/sum_sq/min/max already skip nulls,
+    so an all-rows count would silently skew the derived mean/std whenever
+    the value column has nulls, and would disagree with the spine-fused
+    variants, which seed every expected bucket with a null-valued row that
+    must register the bucket without inflating n_points."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     return [
-        (F.count(v) if count_nonnull else F.count(F.lit(1))).alias("n_points"),
+        F.count(v).alias("n_points"),
         F.sum(v).alias("sum_v"),
         F.sum(v * v).alias("sum_sq"),
         F.min(v).alias("min_v"),
@@ -218,7 +221,7 @@ class RollupTree:
                     "bucket_start"
                 ),
             )
-            .agg(*algebraic_aggs(v, count_nonnull=True))
+            .agg(*algebraic_aggs(v))
         )
 
     def base_aggregate_with_spine_epoch(
@@ -257,7 +260,7 @@ class RollupTree:
                 *self.series_cols,
                 (e - e % F.lit(int(step_s))).alias("bucket_epoch"),
             )
-            .agg(*algebraic_aggs(v, count_nonnull=True))
+            .agg(*algebraic_aggs(v))
             .select(
                 *self.series_cols,
                 F.timestamp_seconds("bucket_epoch").alias("bucket_start"),

@@ -86,10 +86,23 @@ class TableIO:
         if self.use_iceberg:
             df.writeTo(ident).overwritePartitions()
             return
+        # scope the dynamic mode to THIS write: left set globally, every
+        # later plain partitioned overwrite on the session silently keeps
+        # stale partitions it should have truncated
+        before = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         self.spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(ident)
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                ident
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", before
+            )
 
     def snapshot_info(self, ident: str) -> dict:
         """Current snapshot metadata (Iceberg) or a file-listing digest

@@ -63,3 +63,18 @@ def test_append(spark, small, tmp_path):
     t.append(small, ident, ["source"])
     t.append(small.filter(F.col("source") == "a"), ident, ["source"])
     assert t.read(ident).count() == 6
+
+
+def test_overwrite_partitions_restores_session_overwrite_mode(
+    spark, small, tmp_path
+):
+    """The dynamic partitionOverwriteMode must be scoped to the one write:
+    left set globally, every later plain partitioned overwrite in the
+    session silently keeps stale partitions it should have truncated."""
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    t = TableIO(spark)
+    t.overwrite_partitions(small, str(tmp_path / "tbl"), ["source"])
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == before
+    )

@@ -173,3 +173,14 @@ def test_mutual_information_ranks_informative_feature(spark):
     assert exact["x1"] > exact["x2"] + 0.5
     for f in ("x1", "x2"):
         assert abs(exact[f] - scores[f]) < 0.05
+
+
+def test_text_column_stats_no_string_columns(spark):
+    """An all-numeric table yields an empty result with the contract
+    schema, not an IndexError."""
+    from preprocessor_spark.operators.metadata import text_column_stats
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    out = text_column_stats(df)
+    assert out.count() == 0
+    assert out.columns == ["column", "n_unique", "mode_value", "avg_length"]

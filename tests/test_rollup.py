@@ -310,3 +310,34 @@ def test_retention_policy_enforce_and_expiry(spark):
     assert pol.enforce(tier, "1d", now_s).count() == 72  # keep-forever
     assert pol.expired_before("1h", now_s) == now_s - 86400
     assert pol.expired_before("1d", now_s) is None
+
+
+def test_null_valued_facts_do_not_skew_counts_or_derived_stats(spark):
+    """n_points counts NON-NULL values on every aggregate path (sums/min/
+    max already skip nulls): an all-rows count would divide sum_v by the
+    wrong n in the derived mean/std, and the spine-fused and plain paths
+    would disagree on the same data."""
+    import pyspark.sql.functions as F
+
+    from preprocessor_spark.rollup.tiers import TierSpec
+
+    df = spark.createDataFrame(
+        [("s", "2020-01-01 00:10:00", 2.0),
+         ("s", "2020-01-01 00:20:00", None),
+         ("s", "2020-01-01 00:40:00", 4.0)],
+        "source string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tree = RollupTree(time_col="ts", series_cols=["source"], value_col="v",
+                      tiers=[TierSpec("1h", "1 hour")])
+    tier = TierSpec("1h", "1 hour")
+    base = tree.base_aggregate(df, tier).collect()[0]
+    assert base["n_points"] == 2 and base["sum_v"] == 6.0
+    derived = tree.build_all(df, derived=True)["1h"].collect()[0]
+    assert derived["mean_v"] == 3.0  # sum of non-null / count of non-null
+    from preprocessor_spark.rollup.tiers import spine_from_bounds
+
+    spine = spine_from_bounds(
+        spark, [("s", 1577836800, 1577836800)], ["source"], 3600
+    )
+    fused = tree.base_aggregate_with_spine(df, tier, spine).collect()[0]
+    assert fused["n_points"] == base["n_points"] == 2

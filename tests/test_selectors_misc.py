@@ -358,3 +358,19 @@ def test_granger_select_feature_group_fusion(spark):
     assert stats_all["f5"]["f_stat"] == pytest.approx(
         stats_one["f5"]["f_stat"], rel=1e-9
     )
+
+
+def test_lag_corr_requires_an_order_column(spark):
+    """Without keep_cols there is no time key: ordering by the first value
+    column would make every corr(x, lag(x)) ~1 (a screen that selects
+    everything), so the selector must refuse instead."""
+    import pytest as pt
+
+    from preprocessor_spark.operators.feature_selector import FeatureSelector
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2)) for i in range(50)], "x double, y double"
+    )
+    fs = FeatureSelector(method="lag_corr", keep_cols=[])
+    with pt.raises(ValueError, match="order column"):
+        fs.fit(df)

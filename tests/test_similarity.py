@@ -277,3 +277,26 @@ def test_large_dim_scoring_avoids_inline_codegen(spark):
     ).collect()
     assert topk[0]["vec_id"] in (0, 1)
     assert abs(topk[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_ivf_topk_skips_null_embedding_centroids(spark, emb_df, vectors):
+    """A cell whose min_by row has a NULL embedding must be skipped (its
+    members re-assign to the nearest real centroid), not crash the driver
+    building the centroid literal."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    null_row = spark.createDataFrame(
+        [(0, None)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    # vec_id=0 is the minimum of its hash cell → min_by picks the null
+    df = emb_df.filter(F.col("vec_id") != 0).unionByName(null_row)
+    q = vectors[1].tolist()
+    got = ivf_topk(df, q, k=5, num_cells=4, nprobe=4).collect()
+    assert len(got) == 5 and all(r["vec_id"] != 0 for r in got)

@@ -251,3 +251,43 @@ def test_stratified_split_keeps_null_strata(spark):
     for k, c in want.items():
         if c:
             assert null_counts.get(k, 0) == c, k
+
+
+def test_split_counts_tiebreak_is_canonical_and_keys_validated():
+    """Remainder round-robin must break ratio ties in canonical d1..d6
+    order regardless of the caller's dict insertion order, and a ratios
+    dict missing a split key must fail with a clear error, not KeyError."""
+    import pytest as pt
+
+    from preprocessor_spark.operators.splitter import split_counts
+
+    fwd = {"d1": 0.5, "d2": 0.1, "d3": 0.1, "d4": 0.1, "d5": 0.1, "d6": 0.1}
+    rev = dict(reversed(list(fwd.items())))
+    assert split_counts(1003, fwd) == split_counts(1003, rev)
+    # remainder 2 goes to d1 (largest), then d2 (canonical tie order —
+    # the reversed-dict call above would have picked d6 before the fix)
+    c = split_counts(1003, fwd)
+    assert c["d1"] == 502 and c["d2"] == 101
+    assert c["d3"] == c["d4"] == c["d5"] == c["d6"] == 100
+    with pt.raises(ValueError, match="missing"):
+        split_counts(100, {"d1": 1.0})
+
+
+def test_fit_time_boundaries_rejects_uncastable_time_column(spark):
+    """A non-empty table whose time column encodes to NULL for every row
+    (an all-null time column; under non-ANSI sessions also uncastable
+    string timestamps) must fail loudly — silently fitting empty
+    boundaries would label every row split_id=NULL downstream."""
+    import pytest as pt
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,)], "v double"
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    sp = TemporalSplitter(time_col="ts")
+    with pt.raises(ValueError, match="encodes to NULL"):
+        sp.fit_time_boundaries(df)
+    # the empty table keeps returning empty boundaries (no rows to split)
+    p = sp.fit_time_boundaries(df.limit(0))
+    assert p.params["boundaries"] == {}
