@@ -1186,7 +1186,8 @@ def _minhash_oracle_sql() -> str:
                    range(1, greatest(len(w) - 2, 1) + 1),
                    j -> array_to_string(w[j:j+2], ' ')))) AS s
           FROM (SELECT doc_id,
-                       string_split_regex(lower(text), '\\s+') AS w
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
                 FROM documents)
         ), h AS (
           SELECT doc_id,
@@ -1354,6 +1355,8 @@ def _mutual_info_oracle_sql() -> str:
                 SELECT len(list_filter(e.ex_{feat}, v -> v < l.{feat})) AS xb,
                        len(list_filter(e.ey, v -> v < l.l_extendedprice)) AS yb
                 FROM lineitem l CROSS JOIN edges e
+                WHERE l.{feat} IS NOT NULL
+                  AND l.l_extendedprice IS NOT NULL
               ) GROUP BY xb, yb
             )
           )""")
@@ -1748,8 +1751,10 @@ def oracle_sql() -> dict[str, str]:
                   (length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')))
                   / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
               + 0.3 * (CASE WHEN
-                  len(list_intersect(string_split(lower(text),' '),
-                    ['the','and','of','to','in','is','that','it','was','for']))
+                  len(list_filter(string_split(lower(text),' '),
+                    x -> list_contains(
+                      ['the','and','of','to','in','is','that','it','was','for'],
+                      x)))
                   / greatest(len(string_split(lower(text),' ')), 1) >= 0.05
                   THEN 1.0 ELSE 0.0 END)
               + 0.2 * (CASE WHEN

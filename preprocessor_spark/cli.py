@@ -173,10 +173,17 @@ def _legacy_operator(args: argparse.Namespace, cfg: dict):
     name = args.plugin
     tc = cfg["time_col"]
     if name == "normalizer":
+        if cfg["normalization_method"] == "none":
+            # 'none' means DON'T normalize — mapping it to zscore (the old
+            # behavior) silently transformed data the user asked to leave
+            # untouched
+            class _Identity:
+                def transform(self, df):
+                    return df
+
+            return _Identity()
         return Normalizer(
-            method=cfg["normalization_method"]
-            if cfg["normalization_method"] != "none"
-            else "zscore",
+            method=cfg["normalization_method"],
             columns=cfg["normalization_columns"],
             exclude=cfg["exclude_features"],
         )

@@ -74,6 +74,7 @@ class PreprocessorCore:
         self._data: DataFrame | None = None
         self._labeled: DataFrame | None = None
         self._norm_params: StageParams | None = None
+        self._norm_params_user_loaded = False
         self._pipeline = Pipeline(
             isolate_failures=True,
             enforce_contracts=bool(self.config.get("enforce_stage_contracts")),
@@ -114,11 +115,18 @@ class PreprocessorCore:
             raise ValueError("data validation failed: " + "; ".join(fatal))
         self._data = df
         self._status = "loaded"
+        # fresh data invalidates params FITTED from previous data (else a
+        # second load+process would silently normalize the new table with
+        # the old table's means/stds); explicitly USER-LOADED params are
+        # a deliberate choice and survive reloads
+        if not self._norm_params_user_loaded:
+            self._norm_params = None
         return self
 
     def load_normalization_params(self, path: str) -> "PreprocessorCore":
         """Pre-loaded params skip the fit (reference :456-466)."""
         self._norm_params = load_params(path)
+        self._norm_params_user_loaded = True
         return self
 
     # -- process ----------------------------------------------------------
@@ -149,14 +157,20 @@ class PreprocessorCore:
             for c in numeric_columns(labeled, self.config["exclude_features"])
             if c != self.config["time_col"]
         ]
-        norm = Normalizer(method=self.config["normalization_method"], columns=cols)
-        if self._norm_params is None:
-            train = labeled.filter(
-                F.col("split_id").isin(self.config["training_datasets"])
+        if self.config["normalization_method"] == "none":
+            # CLI-advertised passthrough: no fit, no transform, no params
+            self._normalizer = None
+        else:
+            norm = Normalizer(
+                method=self.config["normalization_method"], columns=cols
             )
-            self._norm_params = norm.fit(train)
-        labeled = norm.transform(labeled, self._norm_params)
-        self._normalizer = norm
+            if self._norm_params is None:
+                train = labeled.filter(
+                    F.col("split_id").isin(self.config["training_datasets"])
+                )
+                self._norm_params = norm.fit(train)
+            labeled = norm.transform(labeled, self._norm_params)
+            self._normalizer = norm
 
         # Stage D: postprocessing fold
         post = Pipeline(
@@ -177,7 +191,10 @@ class PreprocessorCore:
             raise RuntimeError("call process() first")
         fmt = fmt or self.config["output_format"]
         write_split_datasets(self._labeled, os.path.join(out_dir, "splits"), fmt)
-        save_params(os.path.join(out_dir, "norm_params.json"), self._norm_params)
+        if self._norm_params is not None:  # absent under method 'none'
+            save_params(
+                os.path.join(out_dir, "norm_params.json"), self._norm_params
+            )
         save_params(
             os.path.join(out_dir, "split_params.json"),
             self._splitter.params(self._labeled),

@@ -168,12 +168,16 @@ def mutual_information(
     edges = df.agg(*edge_aggs).collect()[0]
 
     def bin_expr(c: str):
-        # bucket id by quantile edge ladder: bin i ⇔ x ≤ edges[i], else last
+        # bucket id by quantile edge ladder: bin i ⇔ x ≤ edges[i], else
+        # last. NULL values must yield a NULL bin (dropped below), not
+        # fall through the when-ladder into the TOP bin — folding
+        # missingness into the max-value bin fabricates a joint-histogram
+        # cell and distorts the MI of any column with nulls
         e = [x for x in (edges[f"{c}__edges"] or []) if x is not None]
         expr = F.lit(len(e))
         for i in reversed(range(len(e))):
             expr = F.when(F.col(c) <= F.lit(e[i]), i).otherwise(expr)
-        return expr
+        return F.when(F.col(c).isNotNull(), expr)
 
     # ONE scan per ≤16-feature group (not one per feature): every feature's
     # bin id is computed in the same projection and exploded to
@@ -204,6 +208,10 @@ def mutual_information(
         )
         joint = (
             pairs.select("__p.__f", "__p.__xb", "__yb")
+            # pairwise-complete semantics: a row contributes to a feature's
+            # histogram only when BOTH that feature and the label are
+            # non-null (bin_expr yields NULL bins for null values)
+            .filter(F.col("__xb").isNotNull() & F.col("__yb").isNotNull())
             .groupBy("__f", "__xb", "__yb")
             .agg(F.count(F.lit(1)).alias("n"))
         )

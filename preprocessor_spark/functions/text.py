@@ -27,9 +27,14 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def words(text: Column | str = "text") -> Column:
-    """Whitespace tokenization of lowercased text."""
+    """Whitespace tokenization of lowercased text. Empty tokens are
+    dropped: a raw split of text with LEADING whitespace (or of the empty
+    string) yields a '' first token, silently skewing token counts and
+    making word-set/shingle dedup keys differ between ' foo bar' and
+    'foo bar' — the simhash/decontamination oracles already filtered it;
+    this makes the engine side agree everywhere."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(t), r"\s+")
+    return F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != F.lit(""))
 
 
 def whitespace_token_count(text: Column | str = "text") -> Column:
@@ -69,8 +74,18 @@ def punct_ratio(text: Column | str = "text") -> Column:
     return n_punct / F.greatest(F.length(t), F.lit(1))
 
 
+def stopword_occurrences(text: Column | str, lang: str) -> Column:
+    """Total stopword OCCURRENCES (with multiplicity) — the quality-ratio
+    numerator. The distinct-overlap count (:func:`stopword_hits`) caps at
+    |stoplist| = 10, so distinct/total inverts into a length penalty: every
+    clean document past ~200 words scores stopword_ratio < 0.05 no matter
+    how English it is."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda x: F.array_contains(sw, x)))
+
+
 def stopword_ratio(text: Column | str = "text", lang: str = "en") -> Column:
-    return stopword_hits(text, lang) / F.greatest(
+    return stopword_occurrences(text, lang) / F.greatest(
         whitespace_token_count(text), F.lit(1)
     )
 

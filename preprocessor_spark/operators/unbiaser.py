@@ -108,6 +108,17 @@ class Unbiaser:
             if c not in skip and t in ("double", "float", "int", "bigint")
         ]
 
+    @staticmethod
+    def _promote_values(df: DataFrame, vals: list[str]) -> DataFrame:
+        """Cast integer value columns to double before a pandas residual
+        path whose output schema mirrors the input: fractional residuals in
+        an int column are an Arrow unsafe cast (error or truncation)."""
+        dtypes = dict(df.dtypes)
+        for c in vals:
+            if dtypes[c] not in ("double", "float"):
+                df = df.withColumn(c, F.col(c).cast("double"))
+        return df
+
     def transform(self, df: DataFrame) -> DataFrame:
         if self.method == "ma":
             if self.chunk_rows:
@@ -167,6 +178,11 @@ class Unbiaser:
         vals = self._values(df)
         alpha = self.ema_alpha
         tcol, tie = self.time_col, self.tiebreak_cols
+        # residuals are fractional: integer value columns must come back as
+        # doubles (reusing the input schema raises an Arrow unsafe-cast
+        # error — or silently truncates with safe checks off — and would
+        # disagree with the MA path, which yields doubles via withColumn)
+        df = self._promote_values(df, vals)
         schema = df.schema
 
         def ewm_unbias(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -210,6 +226,7 @@ class Unbiaser:
         from preprocessor_spark.operators.positions import grouped_positions
 
         vals = self._values(df)
+        df = self._promote_values(df, vals)  # see _ema: int residuals
         alpha = self.ema_alpha
         beta = 1.0 - alpha
         pos = grouped_positions(

@@ -34,7 +34,12 @@ class StageRegistry:
         def _wrap(f: StageFn) -> StageFn:
             if name in self._stages:
                 raise ValueError(f"stage already registered: {name}")
-            self._stages[name] = RegisteredStage(name, f, list(depends_on or []))
+            # dedupe (order-preserving): a duplicate name in depends_on
+            # would inflate the topo-sort in-degree by one per COPY while
+            # being decremented once per DISTINCT dependency — the stage
+            # never becomes ready and load_order reports a spurious cycle
+            deps = list(dict.fromkeys(depends_on or []))
+            self._stages[name] = RegisteredStage(name, f, deps)
             return f
 
         return _wrap(fn) if fn is not None else _wrap

@@ -51,6 +51,26 @@ def sniff_format_by_content(path: str, spark: SparkSession | None = None) -> str
                 return "parquet"
         with open(path, errors="ignore") as f:
             lines = [f.readline().strip() for _ in range(5)]
+    elif os.path.isdir(path):
+        # a parquet DATASET is a directory: check the magic bytes of any
+        # data file inside (the text sniffer below would read compressed
+        # binary as 'lines' and could mis-sniff it as CSV)
+        for entry in sorted(os.listdir(path)):
+            p = os.path.join(path, entry)
+            if entry.endswith(".parquet") or entry.startswith("part-"):
+                if os.path.isfile(p):
+                    with open(p, "rb") as fb:
+                        if fb.read(4) == b"PAR1":
+                            return "parquet"
+                    break
+        if spark is not None:
+            try:
+                lines = [
+                    (r[0] or "").strip()
+                    for r in spark.read.text(path).limit(5).collect()
+                ]
+            except Exception:  # noqa: BLE001
+                return None
     elif spark is not None:
         try:
             lines = [

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from preprocessor_spark.rollup.tiers import TierSpec, algebraic_aggs
+from preprocessor_spark.rollup.tiers import ALGEBRAIC, TierSpec, algebraic_aggs
 
 
 def stream_corpus_source(
@@ -42,16 +42,24 @@ def stream_tier(
 ) -> DataFrame:
     """Windowed continuous aggregate with late-data watermark — identical
     algebraic stats to RollupTree.base_aggregate so tier outputs are
-    interchangeable between the batch and streaming runners."""
+    interchangeable between the batch and streaming runners.
+
+    The groupBy keys on the full ``window`` STRUCT (start projected to
+    bucket_start only after the agg): extracting ``['start']`` inside the
+    key would strip the event-time metadata the watermark needs, so state
+    for closed windows would never be evicted and append-mode draining
+    would be rejected by the analyzer."""
     series_cols = series_cols if series_cols is not None else ["source"]
     v = F.col(value_col).cast("double")
     return (
         stream.withWatermark(time_col, watermark)
-        .groupBy(
-            *series_cols,
-            F.window(time_col, tier.duration)["start"].alias("bucket_start"),
-        )
+        .groupBy(*series_cols, F.window(time_col, tier.duration))
         .agg(*algebraic_aggs(v))
+        .select(
+            *series_cols,
+            F.col("window")["start"].alias("bucket_start"),
+            *ALGEBRAIC,
+        )
     )
 
 
@@ -109,35 +117,58 @@ def stream_refresh_tiers(
     merge's directory moves, so the crash window between the two re-merges
     at most one batch; at deployment the merge and the epoch mark are one
     atomic Iceberg commit."""
-    writer = stream.writeStream.foreachBatch(make_refresh_batch(inc)).option(
-        "checkpointLocation", checkpoint
-    )
+    writer = stream.writeStream.foreachBatch(
+        make_refresh_batch(inc, run_key=_checkpoint_key(checkpoint))
+    ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 
 
-def make_refresh_batch(inc):
+def _checkpoint_key(checkpoint: str) -> str:
+    """Stable identity of a streaming run's checkpoint: epoch ids restart
+    at 0 for every NEW checkpoint, so replay records must be scoped to the
+    checkpoint or a later query against the same tree root would silently
+    SKIP its first batches (epoch 0..k 'already applied' — data loss, the
+    opposite failure of the double-count the sidecar guards against).
+    Restarts from the SAME checkpoint continue its epoch sequence, so the
+    same key keeps protecting against true replays."""
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+
+def make_refresh_batch(inc, run_key: str | None = None):
     """The foreachBatch callback behind :func:`stream_refresh_tiers`,
-    exposed so its epoch-replay bookkeeping is directly testable."""
+    exposed so its epoch-replay bookkeeping is directly testable.
+    ``run_key`` scopes the applied-epoch records to one checkpoint
+    (see :func:`_checkpoint_key`); records written before the key existed
+    (no ``run`` field) are honored for any run — conservative for legacy
+    sidecars."""
     import json
     import os
 
     applied_path = os.path.join(inc.root, "refresh_epochs.jsonl")
 
     def refresh_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        done: set[int] = set()
+        done: set[tuple] = set()
         if os.path.exists(applied_path):
             with open(applied_path) as f:
                 for line in f:
-                    done.add(json.loads(line)["epoch"])
-        if int(epoch_id) in done:
+                    rec = json.loads(line)
+                    done.add((rec.get("run"), rec["epoch"]))
+        if (run_key, int(epoch_id)) in done or (None, int(epoch_id)) in done:
             return
         metrics = inc.refresh(batch_df.sparkSession, batch_df)
         with open(applied_path, "a") as f:
             f.write(
                 json.dumps(
-                    {"epoch": int(epoch_id), "seconds": metrics["total_seconds"]}
+                    {
+                        "run": run_key,
+                        "epoch": int(epoch_id),
+                        "seconds": metrics["total_seconds"],
+                    }
                 )
                 + "\n"
             )

@@ -356,3 +356,88 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert {r["text"] for r in got.select("text").collect()} == {
         r["text"] for r in batch.select("text").collect()
     }
+
+
+def test_duplicate_depends_on_is_not_a_cycle():
+    """A duplicate name in depends_on must not inflate the topo-sort
+    in-degree into a spurious 'dependency cycle' error."""
+    from preprocessor_spark.registry import StageRegistry
+
+    reg = StageRegistry()
+    reg.register("a", lambda df: df)
+    reg.register("b", lambda df: df, depends_on=["a", "a"])
+    assert [s.name for s in reg.load_order()] == ["a", "b"]
+
+
+def test_core_none_normalization_is_a_passthrough(spark, raw_pdf, tmp_path):
+    """--normalization-method none (CLI-advertised) must skip the fit AND
+    the transform — previously it crashed the modern pipeline (Normalizer
+    rejects 'none') and silently applied zscore in legacy plugin mode."""
+    core = PreprocessorCore(
+        spark,
+        config={
+            "normalization_method": "none",
+            "normalization_columns": ["open"],
+            "tiebreak_cols": ["label"],
+        },
+    )
+    out = core.load(spark.createDataFrame(raw_pdf)).process()
+    src = spark.createDataFrame(raw_pdf)
+    assert (
+        out.agg(F.round(F.sum("open"), 6)).collect()[0][0]
+        == src.agg(F.round(F.sum("open"), 6)).collect()[0][0]
+    )
+    assert core.get_processing_status()["normalization_fitted"] is False
+    core.export(str(tmp_path / "none_out"))  # must not require norm params
+    import os
+
+    assert not os.path.exists(str(tmp_path / "none_out" / "norm_params.json"))
+
+
+def test_core_reload_invalidates_fitted_params(spark, raw_pdf):
+    """process() after loading NEW data must re-fit: reusing the previous
+    load's fitted means/stds would silently normalize the new table with
+    the old table's statistics. Explicitly user-loaded params survive."""
+    core = PreprocessorCore(
+        spark, config={"normalization_columns": ["open"], "tiebreak_cols": ["label"]}
+    )
+    core.load(spark.createDataFrame(raw_pdf)).process()
+    first = core._norm_params
+    shifted = raw_pdf.copy()
+    shifted["open"] = shifted["open"] + 1000.0
+    out2 = core.load(spark.createDataFrame(shifted)).process()
+    assert core._norm_params is not first  # re-fitted on the new data
+    mu = (
+        out2.filter(F.col("split_id").isin("d1", "d2"))
+        .agg(F.mean("open"))
+        .collect()[0][0]
+    )
+    assert abs(mu) < 0.1  # normalized with the NEW stats, not the old
+
+
+def test_stream_tier_supports_append_mode(spark, tmp_path):
+    """The groupBy must key on the full window struct: extracting
+    window['start'] inside the key strips the event-time metadata, so
+    append-mode draining was rejected by the analyzer and watermark state
+    was never evicted."""
+    from preprocessor_spark.rollup.tiers import TierSpec
+    from preprocessor_spark.streaming import stream_tier
+    from preprocessor_spark.synth import token_sequences
+
+    src = str(tmp_path / "src")
+    token_sequences(spark, 500).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream_tier(stream, TierSpec("5m", "5 minutes"), value_col="n_tok")
+    assert set(agg.columns) >= {"source", "bucket_start", "n_points", "sum_v"}
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")  # analyzer accepts: watermark intact
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()

@@ -115,3 +115,37 @@ def test_replayed_epoch_is_skipped(spark, tree, tmp_path):
     got = _tier_pdf(spark.read.parquet(os.path.join(root, "tier_5m")))
     exp = _tier_pdf(tree.base_aggregate(corpus, TIERS[0]))
     assert (got["n_points"].values == exp["n_points"].values).all()
+
+
+def test_replay_records_are_scoped_to_the_checkpoint(spark, tree, tmp_path):
+    """foreachBatch epoch ids restart at 0 for every NEW checkpoint, so
+    applied-epoch records must be run-scoped: a later query against the
+    same tree root must NOT skip its own epoch 0 because a previous run
+    recorded one (silent data loss). Replays within the SAME run stay
+    skipped, and legacy records (no run field) are honored for any run."""
+    corpus = token_sequences(spark, 2000)
+    cut1, cut2 = "2020-01-01 00:06:00", "2020-01-01 00:12:00"
+    base = corpus.filter(F.col("ts") < cut1)
+    d1 = corpus.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2))
+    d2 = corpus.filter(F.col("ts") >= cut2)
+    root = str(tmp_path / "tree")
+    for tier in TIERS:
+        tree.base_aggregate(base, tier).write.partitionBy("source").parquet(
+            os.path.join(root, f"tier_{tier.name}")
+        )
+    inc = IncrementalRollup(tree, root)
+    from preprocessor_spark.streaming.rollup_stream import make_refresh_batch
+
+    calls = []
+    orig = inc.refresh
+    inc.refresh = lambda s, df, **kw: (calls.append(1), orig(s, df, **kw))[1]
+    run_a = make_refresh_batch(inc, run_key="runA")
+    run_b = make_refresh_batch(inc, run_key="runB")
+    run_a(d1, 0)
+    run_a(d1, 0)  # same-run replay: skipped
+    assert len(calls) == 1
+    run_b(d2, 0)  # NEW run, epoch 0 again: must apply, not be skipped
+    assert len(calls) == 2
+    got = _tier_pdf(spark.read.parquet(os.path.join(root, "tier_5m")))
+    exp = _tier_pdf(tree.base_aggregate(corpus, TIERS[0]))
+    assert (got["n_points"].values == exp["n_points"].values).all()

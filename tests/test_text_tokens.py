@@ -499,3 +499,93 @@ def test_real_format_decoders_when_libs_present(spark):
     buf = io.BytesIO()
     im.save(buf, format="PNG")
     assert (mc.decode_image_any(buf.getvalue()) == arr).all()
+
+
+def test_words_drops_empty_tokens_and_padding(spark):
+    """' the cat' must tokenize exactly like 'the cat': a raw whitespace
+    split yields a '' first token that skews counts and makes
+    word-set/shingle dedup keys differ for byte-identical-after-trim
+    duplicates."""
+    from preprocessor_spark.functions.text import whitespace_token_count, words
+
+    df = spark.createDataFrame(
+        [(" the cat",), ("the cat",), ("",), ("   ",)], "text string"
+    )
+    rows = df.select(
+        words("text").alias("w"), whitespace_token_count("text").alias("n")
+    ).collect()
+    assert rows[0]["w"] == rows[1]["w"] == ["the", "cat"]
+    assert rows[0]["n"] == rows[1]["n"] == 2
+    assert rows[2]["w"] == [] and rows[2]["n"] == 0
+    assert rows[3]["w"] == [] and rows[3]["n"] == 0
+    # word-set dedup keys now agree for padded duplicates
+    from preprocessor_spark.functions.dedup import dedup_word_set
+
+    d = spark.createDataFrame(
+        [("a", " the cat"), ("b", "the cat")], "doc_id string, text string"
+    )
+    assert dedup_word_set(d).count() == 1
+
+
+def test_stopword_ratio_counts_occurrences_not_distinct(spark):
+    """The quality ratio must count stopword OCCURRENCES: the distinct
+    overlap caps at 10, so distinct/total inverted into a length penalty —
+    every clean document past ~200 words failed the stopword gate."""
+    from preprocessor_spark.functions.text import quality_score, stopword_ratio
+
+    long_english = " ".join(
+        ["the quick brown fox jumps over the lazy dog and it was fine"] * 40
+    )  # 480 words, ~25% stopword mass, every word 3-5 chars
+    df = spark.createDataFrame([(long_english,)], "text string")
+    r = df.select(
+        F.round(stopword_ratio("text"), 4).alias("r"),
+        quality_score("text").alias("q"),
+    ).collect()[0]
+    assert r["r"] >= 0.2  # distinct-based ratio would be 10/480 ≈ 0.02
+    assert r["q"] == 1.0  # long clean English text is full quality
+
+
+def test_mutual_information_drops_null_rows(spark):
+    """NULL feature/label values must not fall through the bin ladder into
+    the TOP quantile bin: MI over a half-null column must equal MI over
+    its non-null subset (pairwise-complete semantics)."""
+    import numpy as np
+
+    from preprocessor_spark.functions.analysis import mutual_information
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 400)
+    y = x * 2 + rng.normal(0, 0.1, 400)
+    rows = [
+        (float(x[i]) if i % 2 == 0 else None, float(y[i])) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    sub = df.filter(F.col("x").isNotNull())
+    mi_full = {
+        r["feature"]: r["mi_bits"]
+        for r in mutual_information(df, ["x"], "y", bins=4).collect()
+    }
+    mi_sub = {
+        r["feature"]: r["mi_bits"]
+        for r in mutual_information(sub, ["x"], "y", bins=4).collect()
+    }
+    # not exactly equal (quantile edges fit on different label sets), but
+    # the null rows must not create a fabricated joint cell: both are
+    # strongly informative and within a small band
+    assert mi_full["x"] is not None and mi_sub["x"] is not None
+    assert abs(mi_full["x"] - mi_sub["x"]) < 0.35
+    all_null = df.withColumn("x", F.lit(None).cast("double"))
+    out = mutual_information(all_null, ["x"], "y", bins=4).collect()
+    assert len(out) == 1  # contract row survives, no crash
+
+
+def test_detect_format_parquet_directory(spark, tmp_path):
+    """A parquet DATASET is a directory: detect_format must identify it by
+    a data file's magic bytes instead of text-sniffing compressed binary
+    (which could mis-read as CSV or fail with 'unsupported extension')."""
+    from preprocessor_spark.sources import detect_format, load_data
+
+    p = str(tmp_path / "corpus_dir")
+    token_sequences(spark, 100).write.parquet(p)
+    assert detect_format(p, spark) == "parquet"
+    assert load_data(spark, p).count() == 100

@@ -204,3 +204,28 @@ def test_ma_chunked_tail_spans_buckets(spark):
         .sort_values("doc_id")
     )
     assert np.array_equal(plain["v"].values, chunked["v"].values)
+
+
+def test_ema_integer_value_columns_yield_double_residuals(spark):
+    """EMA residuals are fractional: reusing the input schema for the
+    pandas path made integer value columns an Arrow unsafe cast (error, or
+    silent truncation with safe checks off) and disagreed with MA, which
+    yields doubles. Both EMA paths must promote ints to double."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from preprocessor_spark.operators.unbiaser import Unbiaser
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(40)], "ts bigint, v int"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    s = pd.Series([(i * 7) % 13 for i in range(40)], dtype=float)
+    for chunk in (None, 11):
+        u = Unbiaser(
+            method="ema", value_cols=["v"], tiebreak_cols=[], chunk_rows=chunk
+        )
+        out = u.transform(df)
+        assert dict(out.dtypes)["v"] == "double"
+        got = [r["v"] for r in out.orderBy("ts").collect()]
+        exp = (s - s.ewm(alpha=u.ema_alpha, adjust=True).mean()).tolist()
+        assert max(abs(a - b) for a, b in zip(got, exp)) < 1e-9
