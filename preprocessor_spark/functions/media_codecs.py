@@ -84,6 +84,13 @@ def bmp_size(data: bytes, offset: int = 0) -> int:
     magic, bf_size, *_ = _BMP_FILE_HDR.unpack_from(data, offset)
     if magic != b"BM":
         raise ValueError("not a BMP frame at offset")
+    if bf_size < _BMP_FILE_HDR.size:
+        # a zero/undersized bfSize would make the frame-container walkers
+        # (decode_frames / frame_offsets) loop forever without advancing —
+        # an executor HANG, not an exception, which even the 'auto' decode
+        # policy cannot degrade gracefully from. Corrupt header ⇒ the same
+        # ValueError codec signal as a bad magic.
+        raise ValueError(f"corrupt BMP frame: bfSize={bf_size} at {offset}")
     return bf_size
 
 

@@ -142,17 +142,7 @@ def synth_media_sql(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .when(F.col("modality") == "video", F.col("nf") * 1000)
         .cast("int"),
     )
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.StringType(), False),
-            T.StructField("modality", T.StringType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-            T.StructField("mime", T.StringType(), True),
-            T.StructField("width", T.IntegerType(), True),
-            T.StructField("height", T.IntegerType(), True),
-            T.StructField("duration_ms", T.IntegerType(), True),
-        ]
-    )
+    out_schema = MEDIA_SCHEMA  # single definition — synth_media uses it too
 
     def encode(iterator):
         for pdf in iterator:
@@ -315,7 +305,15 @@ def extract_features(
     def featurize(iterator):
         for pdf in iterator:
             if decode_backend == "fake":
-                feats = [row.tolist() for row in _fake_features(pdf["payload"])]
+                # null payloads yield null features on EVERY backend (the
+                # real/auto contract): hashing b'' would emit a real-looking
+                # vector for missing media while feature_backend stays null
+                feats = [
+                    row.tolist() if p is not None else None
+                    for row, p in zip(
+                        _fake_features(pdf["payload"]), pdf["payload"]
+                    )
+                ]
                 backends = ["fake" if p is not None else None for p in pdf["payload"]]
             else:
                 pairs = [_one(m, p) for m, p in zip(pdf["modality"], pdf["payload"])]
@@ -390,9 +388,15 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamp (native sequence/explode — the decode stage seeks these
     offsets). Non-video rows pass through with frame_ms = null."""
     frames = F.when(
-        (F.col("modality") == "video") & F.col("duration_ms").isNotNull(),
+        (F.col("modality") == "video")
+        & F.col("duration_ms").isNotNull()
+        & (F.col("duration_ms") > 0),
         F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)),
     ).otherwise(F.array(F.lit(None).cast("int")))
+    # NB the duration_ms > 0 guard: sequence(0, -1, every_ms) is an illegal
+    # range (step sign vs direction) and would fail the whole job on one
+    # zero-duration video; such rows pass through with frame_ms = null like
+    # non-video rows
     return df.withColumn("frame_ms", F.explode(frames))
 
 

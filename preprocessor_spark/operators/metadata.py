@@ -88,7 +88,11 @@ def validate_dataset(
     n = row["__n"]
     if n < merged["min_rows"]:
         errors.append(f"Insufficient rows: {n} < {merged['min_rows']}")
-    total_nulls = sum(row[f"__nulls_{i}"] for i in range(len(df.columns)))
+    # F.sum over ZERO rows is SQL NULL → Python None: guard so an empty
+    # dataset reports its min_rows violation instead of a TypeError
+    total_nulls = sum(
+        row[f"__nulls_{i}"] or 0 for i in range(len(df.columns))
+    )
     missing_pct = (
         100.0 * total_nulls / (n * len(df.columns)) if n else 0.0
     )
@@ -139,6 +143,12 @@ def describe_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     (column, stat, value). Quartiles via exact `percentile` at fit scale;
     swap to percentile_approx for the streaming/huge-table path."""
     cols = columns or numeric_columns(df)
+    if not cols:
+        # no numeric columns: an empty contract-schema result, not an
+        # invalid empty agg + stack(0)
+        return df.sparkSession.createDataFrame(
+            [], "column string, stat string, value double"
+        )
     aggs = []
     for c in cols:
         aggs += [
@@ -181,6 +191,13 @@ def iqr_outlier_counts(df: DataFrame, columns: list[str] | None = None) -> DataF
             F.sum(
                 ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("bigint")
             ).alias(f"outliers_{c}")
+        )
+    if not aggs:
+        # empty table / all-null columns: every quantile is null, so no
+        # per-column aggregate survives — df.agg() with zero expressions
+        # raises; a one-row zero-count result keeps the contract
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("outliers_none")
         )
     return df.agg(*aggs)
 

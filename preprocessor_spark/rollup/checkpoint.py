@@ -153,8 +153,12 @@ def run_resumable_bulk(
     sub = df.filter(F.col(partition_col).isin(pending))
     sub = _write_layout(sub, partition_col)
     sub.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
+    # key the lookup by str(): the read-back infers partition-column types
+    # from directory names (e.g. '3' comes back as int, '2020-01-01' as
+    # date), so a raw-value lookup can miss and record rows=0 for
+    # partitions that were written
     counts = {
-        r[0]: r[1]
+        str(r[0]): r[1]
         for r in spark.read.parquet(out_path)
         .filter(F.col(partition_col).isin(pending))
         .groupBy(partition_col)
@@ -163,7 +167,7 @@ def run_resumable_bulk(
     }
     dt = round(time.perf_counter() - t0, 3)
     for v in pending:
-        manifest.mark(stage, str(v), rows=int(counts.get(v, 0)), seconds=dt)
+        manifest.mark(stage, str(v), rows=int(counts.get(str(v), 0)), seconds=dt)
     return [str(v) for v in pending]
 
 
@@ -252,11 +256,15 @@ def run_resumable_observed_tiers(
     from pyspark.sql import Observation
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # one manifest read per TIER: calling completed() inside the (t, v)
+    # comprehension re-parses the whole JSONL once per pair — O(T·V)
+    # full-file scans of prior runs' rows before any Spark work
+    done_by_tier = {t: manifest.completed(stage_prefix + t) for t in tier_names}
     pending = [
         (t, v)
         for t in tier_names
         for v in sorted(values)
-        if str(v) not in manifest.completed(stage_prefix + t)
+        if str(v) not in done_by_tier[t]
     ]
     if not pending:
         return {}

@@ -14,8 +14,10 @@ expressions (xxhash64-based), so the corpus is:
   * generated distributed — no driver-side materialization, so the same
     generator produces the 10^12-sequence corpus on a real cluster.
 
-Source skew: source ``s0`` receives ~30% of rows (FIXTURES.md F0) to
-exercise salted repartition.
+Source skew: source ``s0`` receives ~40% of rows (hash buckets 0 and 7-9
+of 10 all fold to it; FIXTURES.md F0's deliberately-skewed source) to
+exercise salted repartition; the remaining buckets yield s1..s6, so the
+corpus carries 7 distinct sources.
 """
 
 from __future__ import annotations
@@ -25,7 +27,12 @@ from pyspark.sql import functions as F
 
 EPOCH_START = "2020-01-01 00:00:00"
 ROWS_PER_MINUTE = 60  # corpus density: sequences arriving per minute, all sources
-N_SOURCES = 8
+# 7 distinct sources: buckets 0..6 map to s0..s6 (identity — the modulo
+# below never fires on a folded bucket) and 7..9 fold onto s0 for skew.
+# The constant was 8, but s7 was unreachable; 7 states the real fan-out
+# without changing a single generated value (bucket % 7 == bucket % 8 ==
+# bucket for buckets 0..6).
+N_SOURCES = 7
 VOCAB_SIZE = 50_000
 GAP_MODULUS = 37  # (minute, source) cells hashing to 0 mod 37 are dropped → gaps
 
@@ -43,7 +50,8 @@ def token_sequences(
     rows (slightly fewer after gap-punching when ``with_gaps``).
 
     Token values and lengths are stable functions of (seed, doc index):
-      * source: skewed categorical — hash bucket 0..9, buckets >=7 fold to s0;
+      * source: skewed categorical — hash bucket 0..9, buckets >=7 fold to
+        s0 (so s0 ≈ 40% of rows and the corpus spans s0..s6);
       * n_tok:  per-source length regime (distinct spread per source) in
         [4, 4 + min(16*(src+1), len_cap)) — deterministic, no RNG state;
         ``len_cap`` bounds sequence length for scale benchmarks where the
@@ -98,9 +106,16 @@ def token_sequences(
             ),
         )
         .withColumn(
+            # long epoch arithmetic, NOT make_interval(mins=cast int):
+            # the int32 cast overflows past 2^31-1 minutes (~1.29e11 rows)
+            # — an ANSI CAST_OVERFLOW crash at exactly the 10^12-sequence
+            # scale this generator claims. Bit-identical to the interval
+            # form for every in-range minute (verified value-for-value).
             "ts",
-            F.to_timestamp(F.lit(EPOCH_START))
-            + F.make_interval(mins=F.col("__minute").cast("int")),
+            F.timestamp_seconds(
+                F.unix_timestamp(F.to_timestamp(F.lit(EPOCH_START)))
+                + F.col("__minute") * 60
+            ),
         )
         .withColumn("doc_id", F.format_string("doc-%012d", F.col("_i")))
     )

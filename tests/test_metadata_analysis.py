@@ -184,3 +184,27 @@ def test_text_column_stats_no_string_columns(spark):
     out = text_column_stats(df)
     assert out.count() == 0
     assert out.columns == ["column", "n_unique", "mode_value", "avg_length"]
+
+
+def test_validation_and_stats_on_empty_or_all_null_input(spark):
+    """Empty/degenerate inputs must report violations or contract-shaped
+    empties, not crash: validate_dataset raised TypeError summing SQL-NULL
+    null-counts, iqr/describe built empty aggregate lists."""
+    from preprocessor_spark.operators.metadata import (
+        describe_stats,
+        iqr_outlier_counts,
+        validate_dataset,
+    )
+
+    empty = spark.createDataFrame([], "ts timestamp, v double")
+    errs = validate_dataset(empty, {"min_rows": 10})
+    assert any("Insufficient rows: 0" in e for e in errs)
+    assert iqr_outlier_counts(empty).count() == 1  # zero-count contract row
+    allnull = spark.range(5).select(
+        F.lit(None).cast("double").alias("v")
+    )
+    assert iqr_outlier_counts(allnull).count() == 1
+    strings_only = spark.createDataFrame([("a",)], "s string")
+    out = describe_stats(strings_only)
+    assert out.count() == 0
+    assert out.columns == ["column", "stat", "value"]

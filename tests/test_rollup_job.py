@@ -230,3 +230,30 @@ def test_job_rejects_non_nesting_tier(spark, tmp_path, monkeypatch):
         rollup_job.main(
             ["--input", corpus, "--output", str(tmp_path / "out_bad")]
         )
+
+
+def test_bulk_resume_lineage_counts_survive_stringy_partition_values(
+    spark, tmp_path
+):
+    """Partition dirs round-trip through type inference on read-back
+    (source='3' comes back as int 3): lineage rows must still record the
+    true written counts, not rows=0 from a type-mismatched lookup."""
+    import os
+
+    from preprocessor_spark.rollup.checkpoint import Manifest, run_resumable_bulk
+
+    df = spark.createDataFrame(
+        [("3", i) for i in range(7)] + [("4", i) for i in range(5)],
+        "source string, v long",
+    )
+    out = str(tmp_path / "out")
+    manifest = Manifest(os.path.join(str(tmp_path), "manifest.jsonl"))
+    run_resumable_bulk(spark, df, "stage", "source", out, manifest)
+    rows = {}
+    import json
+
+    with open(os.path.join(str(tmp_path), "manifest.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            rows[rec["partition"]] = rec.get("rows")
+    assert rows == {"3": 7, "4": 5}

@@ -589,3 +589,77 @@ def test_detect_format_parquet_directory(spark, tmp_path):
     token_sequences(spark, 100).write.parquet(p)
     assert detect_format(p, spark) == "parquet"
     assert load_data(spark, p).count() == 100
+
+
+def test_zero_bfsize_frame_is_a_codec_error_not_a_hang(spark):
+    """A corrupt frame container whose header claims bfSize=0 must raise
+    the ValueError codec signal: the container walkers advance by bfSize,
+    so a zero would spin decode_frames/frame_offsets forever — an executor
+    HANG the 'auto' decode policy cannot degrade from."""
+    import struct
+
+    import pytest as pt
+
+    from preprocessor_spark.functions import media_codecs as mc
+    import preprocessor_spark.functions.multimodal as mm
+
+    bad = b"BM" + struct.pack("<IHHI", 0, 0, 0, 54) + b"\x00" * 64
+    with pt.raises(ValueError, match="bfSize"):
+        mc.bmp_size(bad)
+    with pt.raises(ValueError):
+        mc.decode_frames(bad)
+    with pt.raises(ValueError):
+        mc.frame_offsets(bad)
+    # 'auto' featurization degrades to the hash featurizer, no hang
+    assert mm._features_auto("video", bad)[1] == "fake"
+
+
+def test_sample_frames_zero_duration_video(spark):
+    """sequence(0, -1, step) is an illegal range: a zero-duration video
+    must pass through with frame_ms null instead of failing the job."""
+    from pyspark.sql import types as T
+
+    from preprocessor_spark.functions.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        ("v0", "video", None, None, None, None, 0),
+        ("v1", "video", None, None, None, None, 2500),
+        ("i0", "image", None, None, 4, 4, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["frame_ms"])
+        for r in sample_frames(df, every_ms=1000).collect()
+    }
+    assert ("v0", None) in got and ("i0", None) in got
+    assert {m for m, f in got if m == "v1"} == {"v1"}
+    assert sorted(f for m, f in got if m == "v1") == [0, 1000, 2000]
+
+
+def test_fake_backend_null_payload_yields_null_features(spark):
+    """Null payloads yield null features on EVERY backend: the fake path
+    hashed b'' into a real-looking vector while feature_backend stayed
+    null — junk features for missing media."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 20).withColumn(
+        "payload",
+        F.when(F.col("media_id") == F.lit("m-000000000"), F.lit(None)).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = extract_features(media, decode_backend="fake", with_backend_col=True)
+    nulls = out.filter(F.col("features").isNull())
+    assert nulls.count() == media.filter(F.col("payload").isNull()).count()
+    assert (
+        out.filter(
+            F.col("features").isNull() != F.col("feature_backend").isNull()
+        ).count()
+        == 0
+    )
