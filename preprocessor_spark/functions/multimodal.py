@@ -47,10 +47,12 @@ _AUDIO_RATE = 8000
 
 # ---------------------------------------------------------------- synth
 def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL encoded payloads: BMP images,
-    PCM WAV audio, concatenated-BMP video — each decodable by the real
-    backend. Content derives from a per-row seeded RNG so the table is
-    bit-identical at any parallelism."""
+    """Deterministic media table with REAL encoded payloads: BMP and PNG
+    images (alternating, so the compressed zlib-deflate format runs through
+    every distributed stage, not just unit tests), PCM WAV audio,
+    concatenated-BMP video — each decodable by the real backend. Content
+    derives from a per-row seeded RNG so the table is bit-identical at any
+    parallelism."""
     base = spark.range(n_rows)
 
     def gen(iterator):
@@ -62,7 +64,10 @@ def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
                 if modality == "image":
                     w, h = int(rng.integers(8, 64)), int(rng.integers(8, 48))
                     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                    payload, mime = mc.encode_bmp(arr), "image/bmp"
+                    if int(i) % 6 == 3:  # every other image: REAL compressed
+                        payload, mime = mc.encode_png(arr), "image/png"
+                    else:
+                        payload, mime = mc.encode_bmp(arr), "image/bmp"
                     width, height, dur = w, h, None
                 elif modality == "audio":
                     n = int(rng.integers(_AUDIO_RATE // 4, _AUDIO_RATE))
@@ -339,9 +344,11 @@ def resize_images(
 
     ``backend='metadata'``: native expressions compute the aspect-preserving
     target box only (plan-level; cheap pre-pass for size accounting).
-    ``backend='real'``: mapInPandas decodes each BMP payload, resizes the
-    pixel array (vectorized nearest-neighbor), re-encodes, and updates
-    payload/width/height. Non-image rows pass through unchanged."""
+    ``backend='real'``: mapInPandas decodes each image payload (BMP/PNG
+    in-house, anything else via Pillow when present), resizes the pixel
+    array (vectorized nearest-neighbor), re-encodes in the SOURCE format,
+    and updates payload/width/height. Non-image rows pass through
+    unchanged."""
     scale = F.least(
         F.lit(max_side) / F.greatest(F.col("width"), F.lit(1)),
         F.lit(max_side) / F.greatest(F.col("height"), F.lit(1)),
@@ -368,9 +375,16 @@ def resize_images(
                     widths.append(w)
                     heights.append(h)
                     continue
-                arr = mc.decode_bmp(bytes(p))
+                # format-preserving: a PNG payload re-encodes as PNG, BMP
+                # (or anything Pillow decoded) as BMP — downstream stages
+                # keyed on the mime column stay truthful after resize
+                data = bytes(p)
+                arr = mc.decode_image_any(data)
                 resized = mc.resize_nearest(arr, int(tw), int(th))
-                payloads.append(mc.encode_bmp(resized))
+                if data[:8] == mc._PNG_SIG:
+                    payloads.append(mc.encode_png(resized))
+                else:
+                    payloads.append(mc.encode_bmp(resized))
                 widths.append(int(tw))
                 heights.append(int(th))
             pdf = pdf.copy()

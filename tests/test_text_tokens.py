@@ -379,8 +379,10 @@ def test_png_truncated_idat_is_a_codec_signal_not_a_crash():
 
 
 def test_multimodal_real_resize_and_frames(spark):
-    """Real pixel resize re-encodes decodable BMPs at the target box; real
-    frame extraction yields one standalone decodable BMP per frame."""
+    """Real pixel resize re-encodes each decodable image at the target box
+    PRESERVING its source format (PNG stays PNG, BMP stays BMP — the mime
+    column stays truthful); real frame extraction yields one standalone
+    decodable BMP per frame."""
     import numpy as np
 
     from preprocessor_spark.functions import media_codecs as mc
@@ -392,12 +394,20 @@ def test_multimodal_real_resize_and_frames(spark):
 
     media = synth_media(spark, 60).cache()
     imgs = media.filter("modality = 'image'")
+    # the synth corpus must exercise BOTH image formats distributed
+    mimes = {r["mime"] for r in imgs.select("mime").distinct().collect()}
+    assert mimes == {"image/bmp", "image/png"}
     resized = resize_images(imgs, max_side=16, backend="real").cache()
     rows = resized.collect()
     assert rows
     for r in rows:
         assert max(r["width"], r["height"]) <= 16
-        arr = mc.decode_bmp(bytes(r["payload"]))
+        data = bytes(r["payload"])
+        if r["mime"] == "image/png":
+            assert data[:8] == mc._PNG_SIG  # format preserved
+            arr = mc.decode_png(data)
+        else:
+            arr = mc.decode_bmp(data)
         assert arr.shape == (r["height"], r["width"], 3)
 
     vids = media.filter("modality = 'video'")
