@@ -320,6 +320,18 @@ def main():
             embedding_bucket_keys(gemb, num_planes=16, dim=EMB_DIM),
             ["ti", "bv"],
         )
+        # the stated scale rule, MEASURED: fixed-p SRP buckets grow as
+        # n/2^p, so p must rise with log2(corpus ratio) to hold expected
+        # bucket size flat (recall bought back with more tables). At a 4x
+        # corpus that is p+2 — the largest bucket should match the base
+        # corpus's p=16 figure, not grow 4x like fixed-p above.
+        import math
+
+        p_scaled = 16 + max(1, round(math.log2(args.growth_rows / n)))
+        g_emb_scaled = bucket_histogram(
+            embedding_bucket_keys(gemb, num_planes=p_scaled, dim=EMB_DIM),
+            ["ti", "bv"],
+        )
         gemb.unpersist()
         base_band = result["minhash"]["band_buckets"]["max_bucket"]
         base_block = result["simhash"]["block_buckets"]["max_bucket"]
@@ -346,6 +358,15 @@ def main():
             ),
             "max_emb_p16_bucket_growth": round(
                 g_emb16["max_bucket"]
+                / result["embedding"]["bucket_buckets_p16"]["max_bucket"],
+                2,
+            ),
+            "embedding_planes_scaled": p_scaled,
+            "embedding_buckets_p_scaled": g_emb_scaled,
+            # growth of the SCALED-p largest bucket vs the BASE corpus's
+            # p=16 largest bucket: ~1.0 demonstrates the log2 plane rule
+            "max_emb_scaled_bucket_growth": round(
+                g_emb_scaled["max_bucket"]
                 / result["embedding"]["bucket_buckets_p16"]["max_bucket"],
                 2,
             ),
@@ -461,6 +482,17 @@ def main():
             f"- embedding buckets p=8: largest = {ge8['max_bucket']:,} "
             f"(**{g['max_emb_p8_bucket_growth']}x**), p=16: largest = "
             f"{ge16['max_bucket']:,} (**{g['max_emb_p16_bucket_growth']}x**)",
+            f"- embedding buckets p={g['embedding_planes_scaled']} (the "
+            f"log2-scaled plane count for this corpus ratio): largest = "
+            f"{g['embedding_buckets_p_scaled']['max_bucket']:,} — "
+            f"**{g['max_emb_scaled_bucket_growth']}x** the BASE corpus's "
+            f"p=16 largest vs {g['max_emb_p16_bucket_growth']}x at fixed "
+            f"p. Scaling p with log2(n) holds EXPECTED occupancy (n/2^p) "
+            f"exactly flat; the largest bucket is the widest solid-angle "
+            f"cell of the random planes, which each added plane splits, so "
+            f"it shrinks more slowly — grow p slightly faster than log2(n) "
+            f"(or multi-probe) to pin the max too. Recall at bigger p is "
+            f"bought back with more tables: 1−(1−(1−θ/π)^p)^L",
             "",
             "Band buckets collide only under genuine similarity, so the",
             "largest stays duplicate-cluster-bound (sub-linear growth → the",
@@ -481,6 +513,14 @@ def main():
             "have heavy-tailed vocabularies), the same family of config",
             "mismatch as the char-shingle pathology below. Weighted or",
             "shingle-level features are the fix on vocab-limited corpora.",
+            "Measured directly in BENCH/SIMHASH_VOCAB.md",
+            "(tools/simhash_vocab_probe.py): the same generator with the",
+            "word universe widened to 4,096 or 65,536 words holds the",
+            "largest block bucket FLAT across the same 4× corpus",
+            "(growth 1.0× vs the saturated 64-word vocab's ~4×) — the",
+            "subset-blocking scheme is duplicate-cluster-bound; linear",
+            "growth above is the saturated-vocabulary corpus, not the",
+            "blocking.",
         ]
     if "char_pathology" in result:
         cp = result["char_pathology"]["band_buckets"]
