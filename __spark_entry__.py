@@ -1743,24 +1743,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "doc_quality": """
-            WITH q AS (
+            -- word counts mirror functions/text.words(): split on \\s+ and
+            -- DROP empty tokens, so padded text (' foo  bar') scores the
+            -- same as 'foo bar' on both sides
+            WITH w AS (
+              SELECT text,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) AS n_words,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> list_contains(
+                         ['the','and','of','to','in','is','that','it','was',
+                          'for'], x))) AS n_stop
+              FROM documents
+            ), q AS (
               SELECT round(
                 0.3 * (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0
                             WHEN length(text) >= 5 THEN 0.5 ELSE 0.0 END)
               + 0.2 * (CASE WHEN
                   (length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')))
                   / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
-              + 0.3 * (CASE WHEN
-                  len(list_filter(string_split(lower(text),' '),
-                    x -> list_contains(
-                      ['the','and','of','to','in','is','that','it','was','for'],
-                      x)))
-                  / greatest(len(string_split(lower(text),' ')), 1) >= 0.05
+              + 0.3 * (CASE WHEN n_stop / greatest(n_words, 1) >= 0.05
                   THEN 1.0 ELSE 0.0 END)
               + 0.2 * (CASE WHEN
-                  length(text) / greatest(len(string_split(text,' ')), 1)
+                  length(text) / greatest(n_words, 1)
                   BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
-              FROM documents
+              FROM w
             )
             SELECT quality, count(*) AS n_docs FROM q GROUP BY 1
         """,

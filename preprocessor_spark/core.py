@@ -159,7 +159,7 @@ class PreprocessorCore:
         ]
         if self.config["normalization_method"] == "none":
             # CLI-advertised passthrough: no fit, no transform, no params
-            self._normalizer = None
+            pass
         else:
             norm = Normalizer(
                 method=self.config["normalization_method"], columns=cols
@@ -170,7 +170,6 @@ class PreprocessorCore:
                 )
                 self._norm_params = norm.fit(train)
             labeled = norm.transform(labeled, self._norm_params)
-            self._normalizer = norm
 
         # Stage D: postprocessing fold
         post = Pipeline(
@@ -191,7 +190,13 @@ class PreprocessorCore:
             raise RuntimeError("call process() first")
         fmt = fmt or self.config["output_format"]
         write_split_datasets(self._labeled, os.path.join(out_dir, "splits"), fmt)
-        if self._norm_params is not None:  # absent under method 'none'
+        # method 'none' never applies a transform, even when params were
+        # load_normalization_params()-ed in: exporting them would publish a
+        # params artifact implying a normalization the splits never got
+        if (
+            self._norm_params is not None
+            and self.config["normalization_method"] != "none"
+        ):
             save_params(
                 os.path.join(out_dir, "norm_params.json"), self._norm_params
             )

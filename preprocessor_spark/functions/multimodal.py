@@ -365,32 +365,39 @@ def resize_images(
 
     def do_resize(iterator):
         for pdf in iterator:
-            payloads, widths, heights = [], [], []
-            for m, p, tw, th, w, h in zip(
+            payloads, widths, heights, mimes = [], [], [], []
+            for m, p, tw, th, w, h, mi in zip(
                 pdf["modality"], pdf["payload"], pdf["target_width"],
                 pdf["target_height"], pdf["width"], pdf["height"],
+                pdf["mime"],
             ):
                 if m != "image" or p is None or (tw == w and th == h):
                     payloads.append(p)
                     widths.append(w)
                     heights.append(h)
+                    mimes.append(mi)
                     continue
-                # format-preserving: a PNG payload re-encodes as PNG, BMP
-                # (or anything Pillow decoded) as BMP — downstream stages
-                # keyed on the mime column stay truthful after resize
+                # format-preserving for the in-house codecs: a PNG payload
+                # re-encodes as PNG, BMP as BMP. A Pillow-decoded foreign
+                # format (e.g. JPEG) re-encodes as BMP, and the mime column
+                # is rewritten to match — downstream stages keyed on mime
+                # must never see a JPEG label over BMP bytes
                 data = bytes(p)
                 arr = mc.decode_image_any(data)
                 resized = mc.resize_nearest(arr, int(tw), int(th))
                 if data[:8] == mc._PNG_SIG:
                     payloads.append(mc.encode_png(resized))
+                    mimes.append("image/png")
                 else:
                     payloads.append(mc.encode_bmp(resized))
+                    mimes.append("image/bmp")
                 widths.append(int(tw))
                 heights.append(int(th))
             pdf = pdf.copy()
             pdf["payload"] = payloads
             pdf["width"] = pd.array(widths, dtype="Int32")
             pdf["height"] = pd.array(heights, dtype="Int32")
+            pdf["mime"] = mimes
             yield pdf
 
     return with_target.mapInPandas(do_resize, schema)

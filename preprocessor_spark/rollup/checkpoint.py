@@ -152,22 +152,29 @@ def run_resumable_bulk(
     t0 = time.perf_counter()
     sub = df.filter(F.col(partition_col).isin(pending))
     sub = _write_layout(sub, partition_col)
+    # lineage counts ride the write itself as conditional aggregates keyed
+    # by the ORIGINAL partition values (same pattern as
+    # run_resumable_observed). A read-back count was both a second pass
+    # over the written tier and brittle: directory names round-trip through
+    # partition-column type inference ('3'→int, '03'→int 3, 'true'→bool),
+    # so the lookup could miss and record rows=0 for written partitions.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{stage}_bulk_counts")
+    sub = sub.observe(
+        obs,
+        *[
+            F.sum(
+                F.when(F.col(partition_col) == v, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"c_{i}")
+            for i, v in enumerate(pending)
+        ],
+    )
     sub.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
-    # key the lookup by str(): the read-back infers partition-column types
-    # from directory names (e.g. '3' comes back as int, '2020-01-01' as
-    # date), so a raw-value lookup can miss and record rows=0 for
-    # partitions that were written
-    counts = {
-        str(r[0]): r[1]
-        for r in spark.read.parquet(out_path)
-        .filter(F.col(partition_col).isin(pending))
-        .groupBy(partition_col)
-        .count()
-        .collect()
-    }
+    got = obs.get
     dt = round(time.perf_counter() - t0, 3)
-    for v in pending:
-        manifest.mark(stage, str(v), rows=int(counts.get(str(v), 0)), seconds=dt)
+    for i, v in enumerate(pending):
+        manifest.mark(stage, str(v), rows=int(got[f"c_{i}"] or 0), seconds=dt)
     return [str(v) for v in pending]
 
 
@@ -181,11 +188,11 @@ def run_resumable_observed(
     values: list,
     expected_rows: int | None = None,
 ) -> dict[str, int]:
-    """Like :func:`run_resumable_bulk` but lineage row counts come from an
-    ``Observation`` attached to the write action itself — zero extra Spark
-    jobs (the bulk variant re-reads the written output to count). At scale
-    the read-back is a second full pass over the tier; observed metrics
-    ride the write for free.
+    """Like :func:`run_resumable_bulk` (which now counts the same way) but
+    takes ``expected_rows`` for data-sized write layout and returns the
+    per-value counts: lineage row counts come from an ``Observation``
+    attached to the write action itself — zero extra Spark jobs; observed
+    metrics ride the write for free.
 
     ``values`` (known partition values) is required — per-value counts are
     conditional aggregates, which needs the value set up front.

@@ -52,17 +52,25 @@ def sniff_format_by_content(path: str, spark: SparkSession | None = None) -> str
         with open(path, errors="ignore") as f:
             lines = [f.readline().strip() for _ in range(5)]
     elif os.path.isdir(path):
-        # a parquet DATASET is a directory: check the magic bytes of any
-        # data file inside (the text sniffer below would read compressed
-        # binary as 'lines' and could mis-sniff it as CSV)
-        for entry in sorted(os.listdir(path)):
-            p = os.path.join(path, entry)
-            if entry.endswith(".parquet") or entry.startswith("part-"):
-                if os.path.isfile(p):
-                    with open(p, "rb") as fb:
+        # a parquet DATASET is a directory: check the magic bytes of the
+        # first data file inside (the text sniffer below would read
+        # compressed binary as 'lines' and could mis-sniff it as CSV).
+        # WALK, don't listdir: hive-partitioned datasets (this repo's own
+        # write_split_datasets / run_resumable_bulk outputs) have only
+        # _SUCCESS and key=value/ subdirs at the top level — the data
+        # files live one or more levels down.
+        found_data_file = False
+        for sub_root, dirs, files in os.walk(path):
+            dirs.sort()
+            for entry in sorted(files):
+                if entry.endswith(".parquet") or entry.startswith("part-"):
+                    with open(os.path.join(sub_root, entry), "rb") as fb:
                         if fb.read(4) == b"PAR1":
                             return "parquet"
-                    break
+                    found_data_file = True
+                    break  # first data file is representative
+            if found_data_file:
+                break
         if spark is not None:
             try:
                 lines = [

@@ -132,11 +132,19 @@ def _checkpoint_key(checkpoint: str) -> str:
     SKIP its first batches (epoch 0..k 'already applied' — data loss, the
     opposite failure of the double-count the sidecar guards against).
     Restarts from the SAME checkpoint continue its epoch sequence, so the
-    same key keeps protecting against true replays."""
+    same key keeps protecting against true replays.
+
+    URI locations (hdfs://, s3a://, file:// — the normal cluster forms) are
+    keyed verbatim: os.path.abspath would prepend the DRIVER'S cwd, which
+    differs per container, so a restart of the same checkpoint would get a
+    different key and the replay guard would be silently defeated. Only
+    bare local paths are absolutized (a relative path from a different cwd
+    IS a different directory)."""
     import hashlib
     import os
 
-    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    ident = checkpoint if "://" in checkpoint else os.path.abspath(checkpoint)
+    return hashlib.md5(ident.rstrip("/").encode()).hexdigest()[:12]
 
 
 def make_refresh_batch(inc, run_key: str | None = None):
@@ -144,8 +152,13 @@ def make_refresh_batch(inc, run_key: str | None = None):
     exposed so its epoch-replay bookkeeping is directly testable.
     ``run_key`` scopes the applied-epoch records to one checkpoint
     (see :func:`_checkpoint_key`); records written before the key existed
-    (no ``run`` field) are honored for any run — conservative for legacy
-    sidecars."""
+    (no ``run`` field) match only run-less callers. Honoring them for ANY
+    run was considered and rejected: a legacy sidecar would then suppress
+    the first epochs of every NEW checkpoint against the same tree root
+    forever (unbounded silent data loss), whereas the cost of scoping is
+    that a keyed restart over a legacy sidecar may re-merge AT MOST the one
+    epoch that was in flight at upgrade time (the same single-batch crash
+    window the sidecar already documents)."""
     import json
     import os
 
@@ -158,7 +171,7 @@ def make_refresh_batch(inc, run_key: str | None = None):
                 for line in f:
                     rec = json.loads(line)
                     done.add((rec.get("run"), rec["epoch"]))
-        if (run_key, int(epoch_id)) in done or (None, int(epoch_id)) in done:
+        if (run_key, int(epoch_id)) in done:
             return
         metrics = inc.refresh(batch_df.sparkSession, batch_df)
         with open(applied_path, "a") as f:

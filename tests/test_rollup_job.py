@@ -235,15 +235,18 @@ def test_job_rejects_non_nesting_tier(spark, tmp_path, monkeypatch):
 def test_bulk_resume_lineage_counts_survive_stringy_partition_values(
     spark, tmp_path
 ):
-    """Partition dirs round-trip through type inference on read-back
-    (source='3' comes back as int 3): lineage rows must still record the
-    true written counts, not rows=0 from a type-mismatched lookup."""
+    """Partition values whose directory names round-trip through type
+    inference differently ('3'→int 3, '03'→int 3 too — a collision!) must
+    still get true lineage counts: the counts ride the write itself as
+    value-keyed observed aggregates, never a read-back lookup."""
     import os
 
     from preprocessor_spark.rollup.checkpoint import Manifest, run_resumable_bulk
 
     df = spark.createDataFrame(
-        [("3", i) for i in range(7)] + [("4", i) for i in range(5)],
+        [("3", i) for i in range(7)]
+        + [("03", i) for i in range(2)]
+        + [("4", i) for i in range(5)],
         "source string, v long",
     )
     out = str(tmp_path / "out")
@@ -256,4 +259,4 @@ def test_bulk_resume_lineage_counts_survive_stringy_partition_values(
         for line in f:
             rec = json.loads(line)
             rows[rec["partition"]] = rec.get("rows")
-    assert rows == {"3": 7, "4": 5}
+    assert rows == {"3": 7, "03": 2, "4": 5}

@@ -122,7 +122,9 @@ def test_replay_records_are_scoped_to_the_checkpoint(spark, tree, tmp_path):
     applied-epoch records must be run-scoped: a later query against the
     same tree root must NOT skip its own epoch 0 because a previous run
     recorded one (silent data loss). Replays within the SAME run stay
-    skipped, and legacy records (no run field) are honored for any run."""
+    skipped — including run-less legacy records against run-less callers
+    (the first test above), but a legacy record must NOT block a keyed
+    run: that would suppress every new checkpoint's first epochs forever."""
     corpus = token_sequences(spark, 2000)
     cut1, cut2 = "2020-01-01 00:06:00", "2020-01-01 00:12:00"
     base = corpus.filter(F.col("ts") < cut1)
@@ -149,3 +151,52 @@ def test_replay_records_are_scoped_to_the_checkpoint(spark, tree, tmp_path):
     got = _tier_pdf(spark.read.parquet(os.path.join(root, "tier_5m")))
     exp = _tier_pdf(tree.base_aggregate(corpus, TIERS[0]))
     assert (got["n_points"].values == exp["n_points"].values).all()
+
+
+def test_legacy_runless_records_do_not_block_keyed_runs(tmp_path):
+    """A pre-upgrade sidecar (records with no 'run' field) must not
+    suppress a KEYED run's epochs — that would silently drop the first
+    batches of every new checkpoint against the tree root forever. The
+    worst a keyed restart over a legacy sidecar can do is re-merge the one
+    in-flight epoch, the crash window the sidecar already documents."""
+    import json
+    import os
+    from types import SimpleNamespace
+
+    from preprocessor_spark.streaming.rollup_stream import make_refresh_batch
+
+    root = str(tmp_path)
+    with open(os.path.join(root, "refresh_epochs.jsonl"), "w") as f:
+        for epoch in range(3):  # legacy records: no 'run' field at all
+            f.write(json.dumps({"epoch": epoch, "seconds": 0.1}) + "\n")
+    calls = []
+    inc = SimpleNamespace(
+        root=root,
+        refresh=lambda s, df: (calls.append(1), {"total_seconds": 0.0})[1],
+    )
+    fake_df = SimpleNamespace(sparkSession=None)
+    keyed = make_refresh_batch(inc, run_key="ck-abc")
+    keyed(fake_df, 0)  # legacy epoch 0 exists — keyed run must still apply
+    assert len(calls) == 1
+    keyed(fake_df, 0)  # its own replay stays skipped
+    assert len(calls) == 1
+    # run-less caller honors the legacy records (legacy mode unchanged)
+    legacy = make_refresh_batch(inc)
+    legacy(fake_df, 1)
+    assert len(calls) == 1
+
+
+def test_checkpoint_key_is_cwd_independent_for_uris(tmp_path, monkeypatch):
+    """URI checkpoint locations must key identically from any driver cwd
+    (containers restart with different working directories); bare local
+    paths still absolutize, and trailing slashes don't split identities."""
+    from preprocessor_spark.streaming.rollup_stream import _checkpoint_key
+
+    k1 = _checkpoint_key("hdfs://nn:8020/ck/run1")
+    monkeypatch.chdir(tmp_path)
+    assert _checkpoint_key("hdfs://nn:8020/ck/run1") == k1
+    assert _checkpoint_key("hdfs://nn:8020/ck/run1/") == k1
+    assert _checkpoint_key("hdfs://nn:8020/ck/run2") != k1
+    assert _checkpoint_key("relative/ck") == _checkpoint_key(
+        str(tmp_path / "relative" / "ck")
+    )

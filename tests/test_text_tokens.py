@@ -673,3 +673,25 @@ def test_fake_backend_null_payload_yields_null_features(spark):
         ).count()
         == 0
     )
+
+
+def test_detect_format_hive_partitioned_parquet_directory(spark, tmp_path):
+    """Hive-partitioned datasets (the repo's own writers produce these)
+    have only _SUCCESS and key=value/ subdirs at the top level: the content
+    sniff must find the nested data files, not fall through to a text scan
+    over compressed binary (which could mis-sniff 'csv' on a stray comma
+    byte)."""
+    from preprocessor_spark.sources.io import detect_format, load_data
+
+    p = str(tmp_path / "parts")
+    token_sequences(spark, 200).write.partitionBy("source").parquet(p)
+    import os
+
+    assert all(
+        e == "_SUCCESS" or e.startswith("source=")
+        for e in os.listdir(p)
+        if not e.startswith(".")  # local-FS .crc siblings
+    )
+    assert any(e.startswith("source=") for e in os.listdir(p))
+    assert detect_format(p, spark) == "parquet"
+    assert load_data(spark, p).count() == 200
