@@ -36,17 +36,6 @@ SPLIT_KEYS = ["d1", "d2", "d3", "d4", "d5", "d6"]
 DEFAULT_RATIOS = {"d1": 0.5, "d2": 0.1, "d3": 0.1, "d4": 0.1, "d5": 0.1, "d6": 0.1}
 
 
-def global_positions(
-    df: DataFrame, order_cols: list[str], pos_col: str = "__pos"
-) -> DataFrame:
-    """Exact 0-based global positions under ``ORDER BY order_cols`` without
-    a single-partition window — see
-    :func:`preprocessor_spark.operators.positions.grouped_positions`."""
-    from preprocessor_spark.operators.positions import grouped_positions
-
-    return grouped_positions(df, order_cols, group_cols=[], pos_col=pos_col)
-
-
 def split_counts(total: int, ratios: dict[str, float]) -> dict[str, int]:
     """Exact per-split counts — bit-identical to the reference's
     _calculate_split_indices (app/core/data_processor.py:313-350):
@@ -57,16 +46,36 @@ def split_counts(total: int, ratios: dict[str, float]) -> dict[str, int]:
         raise ValueError(
             f"ratios must provide all six split keys; missing {missing}"
         )
+    negative = {k: ratios[k] for k in SPLIT_KEYS if ratios[k] < 0}
+    if negative:
+        # the constructor's sum-to-1 tolerance alone admits these (e.g.
+        # three_way(0.5, 0.6) → d3 = -0.1, sum exactly 1.0) and a negative
+        # count would silently shortchange the splits before it
+        raise ValueError(f"split ratios must be non-negative, got {negative}")
     counts = {k: int(total * ratios[k]) for k in SPLIT_KEYS}
     remainder = total - sum(counts.values())
-    if remainder > 0:
-        # sort over SPLIT_KEYS (not ratios.keys()): the stable sort then
-        # breaks ratio ties in canonical d1..d6 order regardless of the
-        # caller's dict insertion order — the rule the oracles hardcode
-        sorted_keys = sorted(SPLIT_KEYS, key=lambda k: ratios[k], reverse=True)
-        for i in range(remainder):
-            counts[sorted_keys[i % len(sorted_keys)]] += 1
-    assert sum(counts.values()) == total
+    # sort over SPLIT_KEYS (not ratios.keys()): the stable sort then
+    # breaks ratio ties in canonical d1..d6 order regardless of the
+    # caller's dict insertion order — the rule the oracles hardcode
+    sorted_keys = sorted(SPLIT_KEYS, key=lambda k: ratios[k], reverse=True)
+    i = 0
+    while remainder > 0:
+        counts[sorted_keys[i % len(sorted_keys)]] += 1
+        remainder -= 1
+        i += 1
+    while remainder < 0:
+        # ratio sums in (1.0, 1.001] — inside the constructor's documented
+        # tolerance — can over-allocate the floors; take the excess back
+        # round-robin from the largest ratios (never below zero)
+        k = sorted_keys[i % len(sorted_keys)]
+        if counts[k] > 0:
+            counts[k] -= 1
+            remainder += 1
+        i += 1
+    if sum(counts.values()) != total:  # explicit: survives python -O
+        raise RuntimeError(
+            f"split allocation failed: {counts} does not sum to {total}"
+        )
     return counts
 
 
@@ -103,7 +112,8 @@ class TemporalSplitter:
     def transform(self, df: DataFrame) -> DataFrame:
         """Label every row with split_id ∈ d1..d6 (exact reference counts).
 
-        Global positions come from :func:`global_positions` —
+        Global positions come from
+        :func:`preprocessor_spark.operators.positions.grouped_positions` —
         range-partitioned sort + per-partition offsets — NOT a
         single-partition ``row_number() OVER (ORDER BY …)`` window, so the
         labeling stage scales with the cluster instead of serializing on
@@ -327,8 +337,12 @@ class TemporalSplitter:
         hashed = df.withColumn(
             "__ord", F.xxhash64(F.lit(self.seed or 0), F.struct(*df.columns))
         )
+        # full-row tiebreaks after the hash, same as transform()'s shuffle
+        # path: a 64-bit hash collision between two distinct rows in one
+        # stratum would otherwise leave their relative order (and so their
+        # split) partition-order-dependent
         positioned, totals = grouped_positions_and_totals(
-            hashed, ["__ord"], group_cols=[strat_col]
+            hashed, ["__ord", *df.columns], group_cols=[strat_col]
         )
         rows = []
         for key, n in totals.items():

@@ -265,6 +265,12 @@ class Unbiaser:
             row["__n"] = [n]
             return pd.DataFrame(row)
 
+        # `chunked` is deliberately NOT persisted between the two waves:
+        # wave 2 reuses wave 1's shuffle files (the exchange in the shared
+        # plan prefix is the same RDD, so its map stage is skipped), and a
+        # measured A/B at 2M rows showed MEMORY_AND_DISK persistence ~35%
+        # SLOWER (13.5 s vs 9.8 s steady-state) — serialization cost with
+        # no recompute to save.
         totals = (
             chunked.groupBy(*scols, "__chunk")
             .applyInPandas(chunk_totals, state_schema)
@@ -329,7 +335,18 @@ class Unbiaser:
                 pdf[c] = x - ema
             return pdf[[f.name for f in out_schema.fields]]
 
-        joined = chunked.join(F.broadcast(carry_df), [*scols, "__chunk"])
+        # eqNullSafe on the series keys: a null stratum is a legitimate
+        # group (grouped_positions and the unchunked path both keep it);
+        # a name-based equi-join would evaluate NULL==NULL as NULL and
+        # silently drop every null-keyed row from the scale path only
+        cd = carry_df
+        for c in [*scols, "__chunk"]:
+            cd = cd.withColumnRenamed(c, f"__carry_{c}")
+        cond = [chunked[c].eqNullSafe(cd[f"__carry_{c}"]) for c in scols]
+        cond.append(chunked["__chunk"] == cd["__carry___chunk"])
+        joined = chunked.join(F.broadcast(cd), cond).drop(
+            *[f"__carry_{c}" for c in [*scols, "__chunk"]]
+        )
         grouped = joined.groupBy(*scols, "__chunk")
         return grouped.applyInPandas(
             lambda keys, pdf: apply_chunk(pdf), out_schema

@@ -190,7 +190,15 @@ def read_touched_partitions(
     global _SAFE_DIR_VALUE_RE
     if _SAFE_DIR_VALUE_RE is None:
         _SAFE_DIR_VALUE_RE = re.compile(r"^[A-Za-z0-9._-]+$")
-    if all(_SAFE_DIR_VALUE_RE.match(str(v)) for t in tuples for v in t):
+    # the explicit-path fast path probes directories with os.path.isdir,
+    # which is only meaningful on a LOCAL filesystem: on s3a://hdfs://...
+    # every probe would fail and the 'existing' slice would come back
+    # empty — the merge would then silently replace accumulated partitions
+    # with delta-only statistics. URI stores take the pruned full read
+    # (partition-pruned by Spark, still correct).
+    if "://" not in tier_path and all(
+        _SAFE_DIR_VALUE_RE.match(str(v)) for t in tuples for v in t
+    ):
         paths = [
             os.path.join(
                 tier_path, *[f"{c}={v}" for c, v in zip(partition_cols, t)]
@@ -232,11 +240,25 @@ def refresh_tier_path(
     one manifest lineage row per rewritten partition when given one."""
     t0 = time.perf_counter()
     delta_partial = delta_partial.cache()
+    try:
+        return _refresh_tier_path_cached(
+            spark, t0, tier_path, delta_partial, key_cols, partition_cols,
+            manifest, stage,
+        )
+    finally:
+        # unpersist on EVERY exit: a failed write must not leak the cached
+        # partial into executor memory for the session lifetime
+        delta_partial.unpersist()
+
+
+def _refresh_tier_path_cached(
+    spark, t0, tier_path, delta_partial, key_cols, partition_cols,
+    manifest, stage,
+) -> dict:
     touched = [
         tuple(r) for r in delta_partial.select(*partition_cols).distinct().collect()
     ]
     if not touched:
-        delta_partial.unpersist()
         return {"partitions_rewritten": 0, "rows_written": 0, "seconds": 0.0}
     existing = read_touched_partitions(spark, tier_path, partition_cols, touched)
     # partition columns outside the bucket key (e.g. bucket_day, derived
@@ -269,7 +291,6 @@ def refresh_tier_path(
                 seconds=dt,
                 kind="refresh",
             )
-    delta_partial.unpersist()
     return {
         "partitions_rewritten": len(touched),
         "rows_written": rows,
@@ -477,6 +498,14 @@ class IncrementalRollup:
         seeds_by_tier: dict[str, DataFrame] = {}
         seed_intervals: dict[str, list[tuple]] = {}
         if self.dense:
+            # EXACT ts bounds require this second (column-pruned, min/max
+            # only) pass over the delta facts. Deriving bounds from the
+            # cached finest partial's bucket_start would be equivalent for
+            # the seed computation (every consumer there floors to a tier
+            # lattice that nests on the finest step) but NOT for
+            # plans/refresh_job's tail-at-edge validation, which compares
+            # the stored bounds edge against per-series max(ts) exactly —
+            # quantized bounds would refuse every legitimate tail.
             delta_bounds = [
                 tuple(r)
                 for r in delta_df.groupBy(*tree.series_cols)
@@ -520,24 +549,27 @@ class IncrementalRollup:
                 part = with_bucket_day(part)
             parts[tier.name] = part
 
-        if fused:
-            metrics = self._refresh_fused(
-                spark, parts, key_cols, manifest, seed_intervals
-            )
-        else:
-            metrics = {
-                tier.name: refresh_tier_path(
-                    spark,
-                    self.tier_path(tier),
-                    parts[tier.name],
-                    key_cols=key_cols,
-                    partition_cols=self.partition_cols,
-                    manifest=manifest,
-                    stage=f"refresh_{tier.name}",
+        try:
+            if fused:
+                metrics = self._refresh_fused(
+                    spark, parts, key_cols, manifest, seed_intervals
                 )
-                for tier in tree.tiers
-            }
-        finest.unpersist()
+            else:
+                metrics = {
+                    tier.name: refresh_tier_path(
+                        spark,
+                        self.tier_path(tier),
+                        parts[tier.name],
+                        key_cols=key_cols,
+                        partition_cols=self.partition_cols,
+                        manifest=manifest,
+                        stage=f"refresh_{tier.name}",
+                    )
+                    for tier in tree.tiers
+                }
+        finally:
+            # a failed merge/move must not leak the cached finest partial
+            finest.unpersist()
         if self.dense:
             save_bounds(self.bounds_path, new_bounds, tree.series_cols)
         metrics["total_seconds"] = round(time.perf_counter() - t_all, 3)

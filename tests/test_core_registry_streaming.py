@@ -393,6 +393,39 @@ def test_core_none_normalization_is_a_passthrough(spark, raw_pdf, tmp_path):
 
     assert not os.path.exists(str(tmp_path / "none_out" / "norm_params.json"))
 
+    # loaded params + method 'none': the transform still never runs, so
+    # export must NOT publish a params artifact implying it did
+    fitted = PreprocessorCore(
+        spark,
+        config={
+            "normalization_method": "zscore",
+            "normalization_columns": ["open"],
+            "tiebreak_cols": ["label"],
+        },
+    )
+    fitted.load(spark.createDataFrame(raw_pdf)).process()
+    fitted.export(str(tmp_path / "zs_out"))
+    loaded_none = PreprocessorCore(
+        spark,
+        config={
+            "normalization_method": "none",
+            "normalization_columns": ["open"],
+            "tiebreak_cols": ["label"],
+        },
+    )
+    loaded_none.load_normalization_params(
+        str(tmp_path / "zs_out" / "norm_params.json")
+    )
+    out2 = loaded_none.load(spark.createDataFrame(raw_pdf)).process()
+    assert (
+        out2.agg(F.round(F.sum("open"), 6)).collect()[0][0]
+        == src.agg(F.round(F.sum("open"), 6)).collect()[0][0]
+    )
+    loaded_none.export(str(tmp_path / "none_loaded_out"))
+    assert not os.path.exists(
+        str(tmp_path / "none_loaded_out" / "norm_params.json")
+    )
+
 
 def test_core_reload_invalidates_fitted_params(spark, raw_pdf):
     """process() after loading NEW data must re-fit: reusing the previous

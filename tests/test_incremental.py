@@ -413,3 +413,45 @@ def test_balanced_or_handles_thousands_of_terms(spark):
     assert spark.range(1).filter(pred).count() == 1
     pred_false = _balanced_or([F.lit(False) for _ in range(4096)])
     assert spark.range(1).filter(pred_false).count() == 0
+
+
+def test_refresh_tier_path_uri_store_reads_existing_partitions(
+    spark, tree, corpus, tmp_path
+):
+    """On a URI store os.path.isdir is meaningless, so the explicit-path
+    discovery must fall back to the pruned full read: with a file:// tier
+    path the pre-fix code saw every partition as 'new' and replaced
+    accumulated statistics with delta-only rows."""
+    from preprocessor_spark.rollup.incremental import refresh_tier_path
+    from preprocessor_spark.rollup.tiers import ALGEBRAIC
+
+    tier = tree.tiers[0]
+    cut = "2020-01-01 00:30:00"
+    base = corpus.filter(F.col("ts") < cut)
+    delta = corpus.filter(F.col("ts") >= cut)
+    local = str(tmp_path / "tier_5m")
+    tree.base_aggregate(base, tier).write.partitionBy("source").parquet(local)
+    uri = "file://" + local
+    refresh_tier_path(
+        spark,
+        uri,
+        tree.base_aggregate(delta, tier),
+        key_cols=["source", "bucket_start"],
+        partition_cols=["source"],
+    )
+    got = (
+        spark.read.parquet(local)
+        .select("source", "bucket_start", *ALGEBRAIC)
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        tree.base_aggregate(corpus, tier)
+        .select("source", "bucket_start", *ALGEBRAIC)
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n_points"].values == exp["n_points"].values).all()

@@ -291,3 +291,32 @@ def test_fit_time_boundaries_rejects_uncastable_time_column(spark):
     # the empty table keeps returning empty boundaries (no rows to split)
     p = sp.fit_time_boundaries(df.limit(0))
     assert p.params["boundaries"] == {}
+
+
+def test_split_counts_negative_ratio_and_over_one_tolerance():
+    """Negative ratios must fail loudly (three_way(0.5, 0.6) used to pass
+    the sum check with d3 = -0.1 and silently shortchange d2); ratio sums
+    inside the constructor's (1.0, 1.001] tolerance must reclaim the
+    over-allocated floors instead of dying on a failed total check."""
+    import pytest as pt
+
+    from preprocessor_spark.operators.splitter import (
+        TemporalSplitter,
+        split_counts,
+    )
+
+    bad = {"d1": 0.5, "d2": 0.6, "d3": -0.1, "d4": 0.0, "d5": 0.0, "d6": 0.0}
+    with pt.raises(ValueError, match="non-negative"):
+        split_counts(100, bad)
+    with pt.raises(ValueError, match="non-negative"):
+        split_counts(100, TemporalSplitter.three_way(0.5, 0.6).ratios)
+    # sum 1.0009 — accepted by the 0.001 tolerance; floors can over-allocate
+    over = {
+        "d1": 0.5002, "d2": 0.1002, "d3": 0.1002,
+        "d4": 0.1001, "d5": 0.1001, "d6": 0.1001,
+    }
+    assert abs(sum(over.values()) - 1.0009) < 1e-12
+    for total in (100, 10_000, 1_000_000):
+        c = split_counts(total, over)
+        assert sum(c.values()) == total
+        assert all(v >= 0 for v in c.values())

@@ -229,3 +229,44 @@ def test_ema_integer_value_columns_yield_double_residuals(spark):
         got = [r["v"] for r in out.orderBy("ts").collect()]
         exp = (s - s.ewm(alpha=u.ema_alpha, adjust=True).mean()).tolist()
         assert max(abs(a - b) for a, b in zip(got, exp)) < 1e-9
+
+
+def test_ema_chunked_keeps_null_series_keys(spark):
+    """A null series key is a legitimate group: the chunked scale path's
+    carry join must be null-safe, or every null-keyed row silently
+    vanishes from the output while the default path returns them."""
+    import numpy as np
+    from preprocessor_spark.synth import token_sequences
+
+    corpus = (
+        token_sequences(spark, 4000)
+        .withColumn(
+            "source",
+            F.when(F.col("source") == "s1", F.lit(None)).otherwise(
+                F.col("source")
+            ),
+        )
+        .withColumn("v", F.col("n_tok").cast("double"))
+    )
+    n_null = corpus.filter(F.col("source").isNull()).count()
+    assert n_null > 0
+    kw = dict(
+        method="ema",
+        ema_alpha=0.1,
+        series_cols=["source"],
+        value_cols=["v"],
+        tiebreak_cols=["doc_id"],
+    )
+    exact = (
+        Unbiaser(**kw).transform(corpus).select("doc_id", "v").toPandas()
+    ).sort_values("doc_id")
+    chunked = (
+        Unbiaser(**kw, chunk_rows=300)
+        .transform(corpus)
+        .select("doc_id", "v")
+        .toPandas()
+    ).sort_values("doc_id")
+    assert len(chunked) == len(exact) == corpus.count()
+    np.testing.assert_allclose(
+        chunked["v"].values, exact["v"].values, rtol=1e-10, atol=1e-12
+    )
