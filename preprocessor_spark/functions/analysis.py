@@ -160,9 +160,12 @@ def mutual_information(
     acc = "" if edge_method == "exact" else ", 10000"
     edge_aggs = []
     for c in [*feature_cols, label_col]:
+        # backtick the identifier: these are COLUMN NAMES by contract, and
+        # unquoted interpolation would mis-parse 'a-b' as a subtraction or
+        # 'a.b' as struct access
         edge_aggs.append(
             F.expr(
-                f"{fn}({c}, array({', '.join(str(p) for p in probs)}){acc})"
+                f"{fn}(`{c}`, array({', '.join(str(p) for p in probs)}){acc})"
             ).alias(f"{c}__edges")
         )
     edges = df.agg(*edge_aggs).collect()[0]
@@ -215,16 +218,22 @@ def mutual_information(
             .groupBy("__f", "__xb", "__yb")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        total = F.sum("n").over(Window.partitionBy("__f"))
-        px = F.sum("n").over(Window.partitionBy("__f", "__xb"))
-        py = F.sum("n").over(Window.partitionBy("__f", "__yb"))
+        # the counts go through DOUBLE before the products: n·total and
+        # px·py are long·long and overflow int64 once a dominant bin holds
+        # ~3e9+ rows (ANSI mode: ARITHMETIC_OVERFLOW kills the job;
+        # non-ANSI: silent wraparound → log2 of a negative → NaN MI). The
+        # division result is double anyway, so this changes nothing below
+        # 2^53 rows per bin.
+        total = F.sum("n").over(Window.partitionBy("__f")).cast("double")
+        px = F.sum("n").over(Window.partitionBy("__f", "__xb")).cast("double")
+        py = F.sum("n").over(Window.partitionBy("__f", "__yb")).cast("double")
+        n_d = F.col("n").cast("double")
         results.append(
             joint.select(
                 F.col("__f").alias("feature"),
-                (
-                    (F.col("n") / total)
-                    * F.log2((F.col("n") * total) / (px * py))
-                ).alias("term"),
+                ((n_d / total) * F.log2((n_d * total) / (px * py))).alias(
+                    "term"
+                ),
             )
             .groupBy("feature")
             .agg(F.round(F.sum("term"), 6).alias("mi_bits"))

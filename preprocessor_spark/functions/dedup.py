@@ -32,13 +32,26 @@ SIMHASH_BITS = 60  # md5_h60 yields 60 usable bits — 4 pigeonhole chunks of 15
 
 
 # ------------------------------------------------------------------ exact
+def _content_keys(content: F.Column) -> list[F.Column]:
+    """Two INDEPENDENT 64-bit content hashes (xxhash64 + the first 16 hex
+    chars of md5) — the same two-family key the streaming exact dedup uses
+    (streaming/rollup_stream.py): deleting a document on a single 64-bit
+    match is not exact at corpus scale (birthday bound: collision odds
+    ~50% at 4e9 docs), two families push it below ~1e-18 at 10^9 docs."""
+    return [
+        F.xxhash64(content).alias("__h1"),
+        F.substring(F.md5(content), 1, 16).alias("__h2"),
+    ]
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact text: one groupBy on the text
-    hash (shuffle carries only (hash, id), not the payload), then a
-    broadcast-ready semi-join back for the full rows."""
+    hashes (shuffle carries only (hashes, id), not the payload), then a
+    broadcast-ready semi-join back for the full rows. NULL texts collapse
+    to one group (SQL GROUP BY semantics — the oracle contract)."""
     keep = (
-        df.select(F.xxhash64(text_col).alias("__h"), F.col(id_col))
-        .groupBy("__h")
+        df.select(*_content_keys(F.col(text_col)), F.col(id_col))
+        .groupBy("__h1", "__h2")
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keep, on=id_col, how="left_semi")
@@ -48,7 +61,7 @@ def duplicate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-corpus duplicate accounting (reference A6 analog,
     app/core/data_handler.py:413-415)."""
     return (
-        df.groupBy(F.xxhash64(text_col).alias("__h"))
+        df.groupBy(*_content_keys(F.col(text_col)))
         .agg(F.count(F.lit(1)).alias("copies"))
         .agg(
             F.count(F.lit(1)).alias("distinct_texts"),
@@ -62,10 +75,12 @@ def duplicate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def dedup_word_set(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Jaccard==1.0 dedup: documents with identical word SETS collapse to
     the lowest id (order/multiplicity-insensitive)."""
-    key = F.xxhash64(F.array_sort(F.array_distinct(words(text_col))))
+    # words never contain whitespace (split on \s+), so the space-join is
+    # an injective encoding of the set and the two-family key applies
+    wordset = F.array_join(F.array_sort(F.array_distinct(words(text_col))), " ")
     keep = (
-        df.select(key.alias("__h"), F.col(id_col))
-        .groupBy("__h")
+        df.select(*_content_keys(wordset), F.col(id_col))
+        .groupBy("__h1", "__h2")
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keep, on=id_col, how="left_semi")
@@ -172,8 +187,28 @@ def minhash_lsh_pairs(
     ``release_minhash_cache(result)`` (the bench/driver jobs do). Left
     persisted, they are reclaimed by Spark's LRU block eviction.
     """
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        # bands > num_hashes makes rows_per_band 0 → every band key is the
+        # empty concat → the self-join degenerates to the full O(n²) cross
+        # join; a non-divisor silently discards permutations and quietly
+        # changes the S-curve the caller tuned
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     mk_shingles = char_shingles if shingle_mode == "char" else word_shingles
+    # near-dup semantics need ≥1 real shingle: NULL/empty/whitespace-only
+    # texts would all collapse to the single '' shingle (concat_ws skips
+    # nulls, greatest(n-k+1, 1) floors the index range), giving every such
+    # doc an IDENTICAL signature — m blank docs would fabricate m(m-1)/2
+    # jaccard-1.0 'near-dup' pairs and flood one band bucket. Blank docs
+    # belong to exact dedup, not similarity.
+    if shingle_mode == "char":
+        df = df.filter(F.length(text_col) > 0)
+    else:
+        df = df.filter(
+            F.coalesce(F.size(words(text_col)), F.lit(0)) > 0
+        )
     # lift single-small-file inputs to full parallelism before the CPU-heavy
     # shingle+signature projection (shuffles only raw text, once)
     target_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -369,6 +404,12 @@ def simhash_near_dups(
     self-join, and recomputing the 60-aggregate bit-vote plan twice doubles
     the dominant cost. Caching contract as in :func:`minhash_lsh_pairs` —
     consumers call :func:`release_caches` after materializing."""
+    # NULL/empty/whitespace-only texts all carry the fill-in signature 0
+    # (zero word votes): m blank docs would collide in every blocking
+    # subset and emit m(m-1)/2 hamming-0 'near-dup' pairs between documents
+    # sharing no content. Same rule as minhash_lsh_pairs: blank docs belong
+    # to exact dedup, not similarity.
+    df = df.filter(F.coalesce(F.size(words(text_col)), F.lit(0)) > 0)
     sh = simhash(df, text_col, id_col).persist()
     chunks = simhash_block_keys(sh, id_col, max_hamming)
     l, r = chunks.alias("l"), chunks.alias("r")
@@ -691,8 +732,10 @@ def embedding_near_dups(
     l, r = keys.alias("l"), keys.alias("r")
     la, ra = F.col(f"l.{emb_col}"), F.col(f"r.{emb_col}")
     cos = (
-        dot_inline(f"l.{emb_col}", f"r.{emb_col}", dim)
-        / (F.col("l.__nrm") * F.col("r.__nrm"))
+        F.try_divide(
+            dot_inline(f"l.{emb_col}", f"r.{emb_col}", dim),
+            F.col("l.__nrm") * F.col("r.__nrm"),
+        )
         if use_inline
         else cosine(la, ra)
     )

@@ -34,7 +34,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector (padding row, failed encode) yields a
+    # NULL cosine — dropped by top-k ordering (DESC is NULLS LAST) and by
+    # every threshold filter — instead of an ANSI DIVIDE_BY_ZERO that kills
+    # the whole job on one degenerate row
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 # ---------------------------------------------- codegen (static-dim) variants
@@ -67,7 +71,18 @@ def _sql_operand(c: Column | str) -> str | None:
     # binding, not an exception, so no fallback would catch it. Column
     # operands always go through the Column-API builder instead: same
     # arithmetic, bit-identical result, just py4j build cost ∝ dim.
-    return c if isinstance(c, str) else None
+    #
+    # Plain identifiers are backtick-quoted so reserved words ('order')
+    # parse and so the name can never be re-tokenized. Anything else is BY
+    # CONTRACT an SQL expression — a column literally NAMED 'a-b' or 'a.b'
+    # must be passed as F.col('a-b') (the Column path binds it exactly).
+    if not isinstance(c, str):
+        return None
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+        return f"`{c}`"
+    return c
 
 
 def _dot_inline_cols(a: Column, b: Column, dim: int) -> Column:
@@ -154,7 +169,9 @@ def py_lsh_bucket(query: list[float], num_planes: int, seed: int) -> int:
 
 
 def cosine_inline(a: Column | str, b: Column | str, dim: int) -> Column:
-    return dot_inline(a, b, dim) / (norm_inline(a, dim) * norm_inline(b, dim))
+    return F.try_divide(
+        dot_inline(a, b, dim), norm_inline(a, dim) * norm_inline(b, dim)
+    )
 
 
 def validate_dim(df: DataFrame, emb_col: str, dim: int) -> None:
@@ -188,6 +205,9 @@ def brute_force_topk(
     """Exact cosine top-k against a literal query vector: one scan, partial
     top-k per partition via Catalyst's TakeOrderedAndProject (orderBy+limit
     never globally sorts the full table)."""
+    # zip_with stops at the shorter array, so a query/corpus dim mismatch
+    # would silently truncate every dot product — fail fast instead
+    validate_dim(df, emb_col, len(query))
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
         df.select(
@@ -419,11 +439,16 @@ def lsh_topk(
     # _py_fold_dot replay Spark's exact fold order, so no 1-row Spark job
     # (and no duplicated sign logic that could drift)
     dim = len(query)
+    # the unrolled get(emb, 0..dim-1) paths silently truncate on a short
+    # query and NULL-poison (signature 0, empty/garbage top-k) on a long
+    # one — same failure mode validate_dim guards in embedding_near_dups
+    validate_dim(df, emb_col, dim)
     qbucket = py_lsh_bucket(list(query), num_planes, seed)
     q_norm = math.sqrt(_py_fold_dot(query, query))
     if dim <= LSH_INLINE_TERM_LIMIT:
-        cos = dot_query_inline(emb_col, list(query)) / (
-            norm_inline(emb_col, dim) * F.lit(q_norm)
+        cos = F.try_divide(
+            dot_query_inline(emb_col, list(query)),
+            norm_inline(emb_col, dim) * F.lit(q_norm),
         )
     else:
         # inline scoring past the term budget hits the janino 64 KB cliff
@@ -433,7 +458,7 @@ def lsh_topk(
         # inline form bit-for-bit; runs only on the bucket-pruned subset
         qlit = F.array(*[F.lit(float(x)) for x in query])
         embd = F.col(emb_col).cast("array<double>")
-        cos = dot(embd, qlit) / (norm(embd) * F.lit(q_norm))
+        cos = F.try_divide(dot(embd, qlit), norm(embd) * F.lit(q_norm))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     sig = (
@@ -471,6 +496,7 @@ def ivf_topk(
     no per-vector window — the plan has zero Exchanges before the final
     top-k. At corpus scale the table is written partitioned by __cell so the
     probe is partition-pruned."""
+    validate_dim(df, emb_col, len(query))  # zip truncation, as in brute force
     cents = (
         df.withColumn("__cell", F.abs(F.xxhash64(F.lit(seed), F.col(id_col))) % num_cells)
         .groupBy("__cell")
@@ -499,11 +525,23 @@ def ivf_topk(
     assigned = df.withColumn(
         "__cell", F.element_at(cell_arr, F.array_position(sims, F.array_max(sims)).cast("int"))
     )
+    q_norm = sum(b * b for b in query) ** 0.5
+    if q_norm == 0.0:
+        raise ValueError("ivf_topk: zero-norm query — cosine is undefined")
+
+    def _centroid_sim(centroid) -> float:
+        c_norm = sum(a * a for a in centroid) ** 0.5
+        if c_norm == 0.0:
+            # an all-zeros sampled centroid (padding rows, failed encodes):
+            # cosine is undefined, so rank its cell last instead of dying
+            # on a driver-side ZeroDivisionError before any Spark job runs
+            return -1.0
+        return (
+            sum(a * b for a, b in zip(centroid, query)) / (c_norm * q_norm)
+        )
+
     q_sims = sorted(
-        ((r["__cell"], sum(a * b for a, b in zip(r["centroid"], query))
-          / ((sum(a * a for a in r["centroid"]) ** 0.5)
-             * (sum(b * b for b in query) ** 0.5)))
-         for r in cents),
+        ((r["__cell"], _centroid_sim(r["centroid"])) for r in cents),
         key=lambda t: -t[1],
     )
     probe_cells = [c for c, _ in q_sims[:nprobe]]

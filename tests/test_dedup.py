@@ -234,3 +234,48 @@ def test_simhash_block_keys_collide_within_hamming(spark):
     for i in range(40):
         a, b = by_doc[2 * i], by_doc[2 * i + 1]
         assert a & b, f"pair {i} shares no block key: {sorted(a)} vs {sorted(b)}"
+
+
+def test_blank_docs_never_fabricate_near_dup_pairs(spark):
+    """NULL / empty / whitespace-only texts all collapse to the same
+    degenerate signature ('' shingle for minhash, fill-0 for simhash): m
+    blank docs used to emit m(m-1)/2 fabricated jaccard-1.0 / hamming-0
+    pairs AND flood one blocking bucket (the O(n^2) join the module header
+    promises never to build). Blank docs belong to exact dedup only."""
+    rows = DOCS + [(7, None), (8, ""), (9, "   "), (10, None), (11, "\t\n")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    blank_ids = {7, 8, 9, 10, 11}
+
+    mh = minhash_lsh_pairs(
+        df, shingle_mode="word", shingle_k=3, jaccard_threshold=0.5
+    )
+    mh_pairs = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert mh_pairs  # the real near-dups still come out
+    assert not any(a in blank_ids or b in blank_ids for a, b in mh_pairs)
+
+    sh = simhash_near_dups(df, max_hamming=10)
+    sh_pairs = {(r["id_a"], r["id_b"]) for r in sh.collect()}
+    assert not any(a in blank_ids or b in blank_ids for a, b in sh_pairs)
+
+    # char mode: empty/NULL filtered, whitespace-only yields real shingles
+    # of spaces — fine (they differ from content shingles)
+    mh_char = minhash_lsh_pairs(df, jaccard_threshold=0.5)
+    pairs_char = {(r["id_a"], r["id_b"]) for r in mh_char.collect()}
+    assert not any(a in {7, 8, 10} or b in {7, 8, 10} for a, b in pairs_char)
+
+
+def test_minhash_bands_must_divide_num_hashes(spark, docs):
+    """bands > num_hashes degenerates every band key to '' (a full cross
+    join); a non-divisor silently discards permutations. Both refused."""
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(docs, num_hashes=64, bands=128)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(docs, num_hashes=64, bands=48)
+
+
+def test_exact_dedup_uses_two_hash_families(spark, docs):
+    """Deleting a document on a single 64-bit hash match is not exact at
+    corpus scale; the key must carry two independent families (same
+    contract as the streaming dedup)."""
+    plan = dedup_exact(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan and "md5" in plan

@@ -300,3 +300,63 @@ def test_ivf_topk_skips_null_embedding_centroids(spark, emb_df, vectors):
     q = vectors[1].tolist()
     got = ivf_topk(df, q, k=5, num_cells=4, nprobe=4).collect()
     assert len(got) == 5 and all(r["vec_id"] != 0 for r in got)
+
+
+def test_topk_dim_mismatch_fails_fast(spark, emb_df):
+    """A query whose length disagrees with the corpus dim used to return
+    silently-truncated cosines (short query) or an empty/garbage top-k
+    (long query NULL-poisons the signature). All three top-k entry points
+    now fail fast via validate_dim."""
+    import pytest as pt
+
+    from preprocessor_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    short_q = [1.0] * (len(emb_df.first()["embedding"]) - 2)
+    for fn in (brute_force_topk, lsh_topk, ivf_topk):
+        with pt.raises(ValueError, match="dim"):
+            fn(emb_df, short_q, k=3)
+
+
+def test_ivf_topk_zero_norm_vectors(spark, emb_df):
+    """An all-zeros sampled centroid must rank its cell last, not kill the
+    driver with ZeroDivisionError; an all-zeros QUERY is refused (cosine
+    undefined)."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.functions.similarity import ivf_topk
+
+    dim = len(emb_df.first()["embedding"])
+    zeroed = emb_df.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 7 == 0,
+            F.array(*[F.lit(0.0) for _ in range(dim)]),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    q = emb_df.first()["embedding"]
+    out = ivf_topk(zeroed, [float(x) for x in q], k=5).collect()
+    assert len(out) == 5  # no crash, real neighbors returned
+    with pt.raises(ValueError, match="zero-norm query"):
+        ivf_topk(emb_df, [0.0] * dim, k=3)
+
+
+def test_inline_sql_operand_handles_reserved_word_columns(spark):
+    """Plain-identifier operands are backtick-quoted in the generated SQL,
+    so a column named like a reserved word ('order') takes the inline fast
+    path instead of a parse error."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.functions.similarity import dot_inline
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], ["order", "values"]
+    )
+    got = df.select(
+        dot_inline("order", "values", 2).alias("d")
+    ).collect()[0]["d"]
+    assert got == 11.0
