@@ -213,6 +213,7 @@ def _legacy_operator(args: argparse.Namespace, cfg: dict):
             outlier_threshold=args.outlier_threshold,
             period_minutes=args.period_minutes,
             time_col=tc,
+            tiebreak_cols=cfg["tiebreak_cols"],
         )
     raise SystemExit(f"unknown plugin {name}")
 

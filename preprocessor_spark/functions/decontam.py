@@ -77,15 +77,25 @@ def word_ngrams(text: Column | str, n: int) -> Column:
 def token_ngram_keys(tokens: Column | str, n: int) -> Column:
     """Array of 64-bit n-gram keys over a PRE-TOKENIZED sequence
     (``array<int>`` — the engine's authoritative payload): each window of
-    ``n`` token ids hashes to one xxhash64 of its canonical string form.
+    ``n`` token ids hashes to one xxhash64 OF THE SLICE ARRAY itself.
     Token-id n-grams are the exact-match decontamination unit when the
     corpus is already tokenized — no detokenize/re-split round trip, and
     the window slides over ids, not whitespace. Empty array for sequences
-    shorter than ``n``."""
+    shorter than ``n``.
+
+    Null elements key through a sentinel OUTSIDE the int32 token domain
+    (-2^40 after a long cast): both concat_ws and xxhash64-over-arrays
+    SKIP null elements, so windows with differently placed nulls — or
+    whose non-null ids happen to agree — would collapse onto one key,
+    producing spurious contamination hits. The array hash also skips
+    materializing a string per window (the old concat_ws form)."""
     c = F.col(tokens) if isinstance(tokens, str) else tokens
+    null_safe = F.transform(
+        c, lambda x: F.coalesce(x.cast("long"), F.lit(-(1 << 40)))
+    )
     return F.when(F.size(c) >= n, F.transform(
         F.sequence(F.lit(1), F.size(c) - F.lit(n - 1)),
-        lambda i: F.xxhash64(F.concat_ws(",", F.slice(c, i, n))),
+        lambda i: F.xxhash64(F.slice(null_safe, i, n)),
     )).otherwise(F.array().cast("array<bigint>"))
 
 
@@ -205,7 +215,13 @@ def decontaminate(
 ) -> DataFrame:
     """The training corpus minus contaminated documents (left-anti join on
     the contamination set — payload columns never shuffle: only (id, hash)
-    pairs move, the anti join keys on id)."""
+    pairs move, the anti join keys on id).
+
+    ``broadcast_eval`` governs only the (small) eval n-gram side inside
+    :func:`contamination`. The contaminated-TRAIN-id set here scales with
+    the train corpus — one boilerplate n-gram in the eval set can match
+    10^8 train docs — so it is never force-broadcast; AQE broadcasts it at
+    runtime when it turns out small."""
     bad = contamination(
         docs,
         eval_docs,
@@ -217,4 +233,4 @@ def decontaminate(
         key,
         broadcast_eval,
     ).select(id_col)
-    return docs.join(F.broadcast(bad) if broadcast_eval else bad, id_col, "left_anti")
+    return docs.join(bad, id_col, "left_anti")

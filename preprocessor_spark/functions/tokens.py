@@ -24,8 +24,12 @@ def token_fingerprint(tokens: Column | str = "tokens") -> Column:
 
 
 def verify_n_tok(df: DataFrame) -> DataFrame:
-    """Rows violating the n_tok == size(tokens) invariant (must be empty)."""
-    return df.filter(F.size("tokens") != F.col("n_tok"))
+    """Rows violating the n_tok == size(tokens) invariant (must be empty).
+    Null-safe: a NULL n_tok (or NULL tokens) IS a violation — `!=` alone
+    evaluates to NULL there and the corrupt row would escape the filter."""
+    return df.filter(
+        ~F.size("tokens").eqNullSafe(F.col("n_tok"))
+    )
 
 
 def token_stats(df: DataFrame, by: list[str] = ("source",)) -> DataFrame:
@@ -62,7 +66,15 @@ def pack_sequences(df: DataFrame, target_len: int) -> DataFrame:
     partition boundary (bins are an intra-partition concept)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy("doc_id")
+    # explicit ROWS frame: orderBy alone defaults to a RANGE frame, where
+    # peer rows (duplicate doc_ids) all receive the sum INCLUDING every
+    # peer — (cum - n_tok) then is not the doc's start offset and bins
+    # silently over-fill
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum("n_tok").over(w)
     binned = df.withColumn("__bin", ((cum - F.col("n_tok")) / target_len).cast("long"))
     # collect_list order is nondeterministic → sort the collected structs by

@@ -44,6 +44,7 @@ class Cleaner:
         time_col: str = "ts",
         series_cols: list[str] | None = None,
         value_cols: list[str] | None = None,
+        tiebreak_cols: list[str] | None = None,
     ):
         self.method = method
         self.k = outlier_threshold
@@ -51,6 +52,10 @@ class Cleaner:
         self.time_col = time_col
         self.series_cols = series_cols or []
         self.value_cols = value_cols
+        # duplicate timestamps within a series make the interpolation
+        # window's row order — and so which neighbor a null bridges from —
+        # partition-order-dependent without an explicit tiebreak
+        self.tiebreak_cols = tiebreak_cols or []
 
     def _values(self, df: DataFrame) -> list[str]:
         return self.value_cols or [
@@ -102,21 +107,29 @@ class Cleaner:
 
     # -- gap fill ----------------------------------------------------------
     def gap_fill(self, df: DataFrame) -> DataFrame:
-        """LEFT JOIN facts onto the dense per-series minute spine; missing
-        stamps appear as all-null value rows (reference plugin_cleaner.py:91-100).
-        """
+        """FULL OUTER JOIN facts with the dense per-series minute spine;
+        missing stamps appear as all-null value rows (reference
+        plugin_cleaner.py:91-100, which INSERTS stamps into the existing
+        frame). Full — not left — outer: a left join from the spine would
+        silently DROP any fact whose timestamp is off the min(ts)+k·period
+        grid, and interpolation would then bridge the hole as if the
+        observation never existed."""
         if not self.period_minutes:
             raise ValueError("gap_fill requires period_minutes")
         spine = dense_spine(
             df, self.time_col, self.period_minutes, self.series_cols
         )
         join_keys = [*self.series_cols, self.time_col]
-        return spine.join(df, on=join_keys, how="left")
+        return spine.join(df, on=join_keys, how="full")
 
     # -- interpolation -----------------------------------------------------
     def interpolate(self, df: DataFrame) -> DataFrame:
         return interpolate_linear(
-            df, self._values(df), self.time_col, self.series_cols
+            df,
+            self._values(df),
+            self.time_col,
+            self.series_cols,
+            tiebreak_cols=self.tiebreak_cols,
         )
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -56,7 +56,14 @@ class FeatureSelector:
 
     def fit(self, df: DataFrame) -> StageParams:
         if self.method in ("select_single", "select_multi"):
-            selected = self.names or [df.columns[i] for i in self.indices]
+            # names AND indices combine (the CLI splits one --select-columns
+            # flag into both): `names or [...]` silently discarded every
+            # index whenever at least one name was given
+            selected = list(
+                dict.fromkeys(
+                    [*self.names, *[df.columns[i] for i in self.indices]]
+                )
+            )
         elif self.method == "lag_corr":
             selected = self._lag_corr_select(df)
         else:
@@ -68,8 +75,14 @@ class FeatureSelector:
         )
 
     def transform(self, df: DataFrame, params: StageParams) -> DataFrame:
-        cols = params.params["keep_cols"] + [
-            c for c in params.params["selected_features"] if c in df.columns
+        keep = params.params["keep_cols"]
+        # a selected name that is also a keep_col must not project twice —
+        # the duplicate column poisons every downstream reference with
+        # AMBIGUOUS_REFERENCE
+        cols = keep + [
+            c
+            for c in params.params["selected_features"]
+            if c in df.columns and c not in keep
         ]
         return df.select(*cols)
 
@@ -114,8 +127,9 @@ class FeatureSelector:
         order_dtype = dict(df.dtypes)[order]
         if is_bucketable_dtype(order_dtype):
 
+            # num excludes keep_cols, so order (keep_cols[0]) is never in it
             chunked = chunked_assignment(
-                df.select(order, *num) if order not in num else df.select(*num),
+                df.select(order, *num),
                 order,
                 chunk_rows=self.lag_chunk_rows,
                 carry_rows=self.max_lag,

@@ -134,6 +134,12 @@ class Normalizer:
             if params.method == "zscore":
                 out[c] = pips * 1e-4 / s["std"]
             else:
+                # an all-null training column stores min=max=None: no pip
+                # scale exists for it (mirror the rng==0 convention) rather
+                # than TypeError on None - None
+                if s["max"] is None or s["min"] is None:
+                    out[c] = None
+                    continue
                 rng = s["max"] - s["min"]
                 lo, hi = params.params["feature_range"]
                 out[c] = pips * 1e-4 * (hi - lo) / rng if rng else None

@@ -83,3 +83,47 @@ def test_outlier_mask_and_drop(spark):
 
     dropped = cl.drop_outliers(df)
     assert dropped.count() == n - int(expected_mask.sum())
+
+
+def test_gap_fill_keeps_off_grid_rows(spark):
+    """Facts whose timestamps are off the min(ts)+k*period grid must
+    survive gap-fill (the reference INSERTS stamps into the frame): the
+    old spine-left-join silently dropped them and interpolation bridged
+    the hole as if the observation never existed."""
+    import datetime as dt
+
+    from preprocessor_spark.operators.cleaner import Cleaner
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        (t0, 1.0),
+        (t0 + dt.timedelta(minutes=2, seconds=30), 99.0),  # off-grid
+        (t0 + dt.timedelta(minutes=5), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    cl = Cleaner(period_minutes=5, time_col="ts")
+    filled = cl.gap_fill(df)
+    got = {(r["ts"], r["v"]) for r in filled.collect()}
+    assert (t0 + dt.timedelta(minutes=2, seconds=30), 99.0) in got
+    assert (t0, 1.0) in got and (t0 + dt.timedelta(minutes=5), 5.0) in got
+
+
+def test_cleaner_threads_tiebreaks_into_interpolation(spark):
+    """Duplicate timestamps within a series need an explicit tiebreak or
+    the interpolation neighbor choice is partition-order-dependent."""
+    import datetime as dt
+
+    from preprocessor_spark.operators.cleaner import Cleaner
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        (t0, "a", 10.0),
+        (t0, "b", None),
+        (t0 + dt.timedelta(minutes=1), "c", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    cl = Cleaner(time_col="ts", tiebreak_cols=["k"], value_cols=["v"])
+    out = {r["k"]: r["v"] for r in cl.interpolate(df).collect()}
+    # with tiebreak k: order is a(10), b(null), c(20) → b = 15 exactly,
+    # at ANY parallelism
+    assert out["b"] == 15.0

@@ -215,3 +215,22 @@ def test_params_dual_rejects_infinite_std(tmp_path):
     )
     with pt.raises(ValueError, match="non-positive or non-finite std"):
         load_params_dual(str(tmp_path))
+
+
+def test_pip_mae_minmax_all_null_column(spark):
+    """minmax params fitted over an all-null column store min=max=None:
+    the pip diagnostic must report None for it (the rng==0 convention),
+    not crash on None - None."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.operators.normalizer import Normalizer
+
+    df = spark.range(5).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(None).cast("double").alias("y"),
+    )
+    norm = Normalizer(method="minmax", columns=["x", "y"])
+    params = norm.fit(df)
+    diag = Normalizer.pip_mae_diagnostics(params)
+    assert diag["y"] is None
+    assert diag["x"] is not None and diag["x"] > 0

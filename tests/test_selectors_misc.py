@@ -374,3 +374,24 @@ def test_lag_corr_requires_an_order_column(spark):
     fs = FeatureSelector(method="lag_corr", keep_cols=[])
     with pt.raises(ValueError, match="order column"):
         fs.fit(df)
+
+
+def test_selector_combines_names_and_indices_and_dedups_keep_cols(spark):
+    """The CLI splits one --select-columns flag into digit indices and
+    names and passes BOTH: `names or indices` silently discarded the
+    indices. And a selected name that is also a keep_col must project
+    once, not twice (AMBIGUOUS_REFERENCE downstream)."""
+    from preprocessor_spark.operators.feature_selector import FeatureSelector
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0)], ["ts", "a", "b", "c"]
+    )
+    sel = FeatureSelector(names=["a"], indices=[2], keep_cols=["ts"])
+    p = sel.fit(df)
+    assert p.params["selected_features"] == ["a", "b"]
+    out = sel.transform(df, p)
+    assert out.columns == ["ts", "a", "b"]
+
+    dup = FeatureSelector(names=["ts", "a"], keep_cols=["ts"])
+    out2 = dup.transform(df, dup.fit(df))
+    assert out2.columns == ["ts", "a"]  # 'ts' once, never twice

@@ -695,3 +695,54 @@ def test_detect_format_hive_partitioned_parquet_directory(spark, tmp_path):
     assert any(e.startswith("source=") for e in os.listdir(p))
     assert detect_format(p, spark) == "parquet"
     assert load_data(spark, p).count() == 200
+
+
+def test_verify_n_tok_flags_null_invariant_violations(spark):
+    """A NULL n_tok (or NULL tokens array) IS a violation of the
+    n_tok == size(tokens) invariant: the plain != comparison evaluated to
+    NULL there and the corrupt row escaped the verifier."""
+    rows = [
+        ([1, 2, 3], 3),   # fine
+        ([1, 2], None),   # violation: null count
+        (None, 2),        # violation: null tokens
+        ([1], 5),         # violation: wrong count
+    ]
+    df = spark.createDataFrame(rows, "tokens array<int>, n_tok int")
+    assert tk.verify_n_tok(df).count() == 3
+
+
+def test_pack_sequences_duplicate_doc_ids(spark):
+    """Duplicate doc_ids within a source are window PEERS: the default
+    RANGE frame gave every peer the sum including all peers, corrupting
+    bin-start offsets; the explicit ROWS frame packs them correctly."""
+    rows = [
+        ("s0", "d1", [1] * 60, 60),
+        ("s0", "d1", [2] * 60, 60),  # duplicate id, same source
+        ("s0", "d2", [3] * 60, 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, tokens array<int>, n_tok int"
+    )
+    out = tk.pack_sequences(df, target_len=128).collect()
+    assert sum(r["n_tok_packed"] for r in out) == 180  # packing loses nothing
+    # 60+60 fit bin 0 (cum-n_tok = 0 and 60 < 128); the third doc starts at
+    # 120 → falls into bin 0 too under ROWS... no: (180-60)/128 = 0 → one bin
+    # of all three? cum after 3rd = 180, start = 120 < 128 → bin 0. All in one.
+    assert len(out) == 1 and out[0]["n_tok_packed"] == 180
+
+
+def test_token_ngram_keys_distinguish_null_windows(spark):
+    """concat_ws SKIPS null elements, so windows with differently placed
+    nulls used to collapse onto one key (spurious contamination hits); the
+    array hash keeps them distinct."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.functions.decontam import token_ngram_keys
+
+    rows = [([1, None, 2],), ([1, 2, None],), ([None, 1, 2],)]
+    df = spark.createDataFrame(rows, "tokens array<int>")
+    keys = [
+        r["k"][0]
+        for r in df.select(token_ngram_keys("tokens", 3).alias("k")).collect()
+    ]
+    assert len(set(keys)) == 3
