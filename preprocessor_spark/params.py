@@ -44,8 +44,12 @@ class StageParams:
 
 
 def save_params(path: str, sp: StageParams) -> None:
-    """Atomic write: tmp file in the target dir, fsync, rename, read-back verify
-    (same durability contract as reference app/core/normalization_handler.py:361-404)."""
+    """Atomic write: tmp file in the target dir, fsync, verify, THEN rename
+    (same durability contract as reference
+    app/core/normalization_handler.py:361-404). The checksum verify runs on
+    the tmp file BEFORE os.replace publishes it: verifying after the
+    replace would leave a failed write live and the previous good params
+    destroyed — the resume flow would have nothing loadable."""
     payload = sp.to_dict()
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
@@ -55,12 +59,12 @@ def save_params(path: str, sp: StageParams) -> None:
             json.dump(payload, f, indent=2, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
+        if load_params(tmp).to_dict()["checksum"] != payload["checksum"]:
+            raise IOError(f"read-back checksum mismatch for {path}")
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
-    if load_params(path).to_dict()["checksum"] != payload["checksum"]:
-        raise IOError(f"read-back checksum mismatch for {path}")
 
 
 def _dual_checksum(means: dict[str, float], stds: dict[str, float]) -> str:
@@ -80,7 +84,20 @@ def _atomic_json(path: str, data: dict[str, Any]) -> None:
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
-            json.dump(data, f, indent=2, default=str)
+            try:
+                # allow_nan=False: a NaN statistic (avg over NaN data) would
+                # otherwise (a) serialize as bare NaN — NOT standard JSON,
+                # breaking the reference-tooling interop this layout exists
+                # for — and (b) make the read-back dict compare below fail
+                # spuriously (NaN != NaN), masking the real problem behind a
+                # misleading integrity error
+                json.dump(data, f, indent=2, default=str, allow_nan=False)
+            except ValueError as exc:
+                raise ValueError(
+                    f"non-finite statistic in params for {path} — refusing "
+                    "to write non-standard JSON (fit stats contain NaN/inf; "
+                    "check the input data)"
+                ) from exc
             f.flush()
             os.fsync(f.fileno())
         with open(tmp) as f:  # read-back verify before publish

@@ -78,6 +78,7 @@ class Pipeline:
 
     def run(self, df: DataFrame, eager: bool = False) -> DataFrame:
         out = df
+        prev_rows: int | None = None  # last counted output = next input
         for st in self.stages:
             name = getattr(st, "name", getattr(st, "__name__", type(st).__name__))
             t0 = time.perf_counter()
@@ -98,7 +99,14 @@ class Pipeline:
                 m = StageMetric(stage=name, plan_seconds=time.perf_counter() - t0)
                 if eager or self.enforce_contracts:
                     t1 = time.perf_counter()
-                    n_in = out.count() if self.enforce_contracts else None
+                    # stage i's input IS stage i-1's counted output: reuse
+                    # that number instead of re-executing the whole
+                    # accumulated lazy plan with a second count() per stage
+                    # (the waste is superlinear in pipeline depth)
+                    if self.enforce_contracts:
+                        n_in = prev_rows if prev_rows is not None else out.count()
+                    else:
+                        n_in = None
                     m.rows = nxt.count()
                     m.exec_seconds = time.perf_counter() - t1
                     if self.enforce_contracts and m.rows != n_in:
@@ -106,6 +114,7 @@ class Pipeline:
                             f"stage {name} violated the row-preservation "
                             f"contract: {n_in} rows in, {m.rows} out"
                         )
+                    prev_rows = m.rows
                 out = nxt
             except Exception as e:  # noqa: BLE001
                 if not self.isolate_failures:

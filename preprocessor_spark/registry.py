@@ -52,8 +52,18 @@ class StageRegistry:
 
     def load_order(self, wanted: list[str] | None = None) -> list[RegisteredStage]:
         """Deterministic topological order (Kahn, lexicographic tiebreak)
-        with cycle detection (reference plugin_loader.py:417-491)."""
-        names = set(wanted or self._stages)
+        with cycle detection (reference plugin_loader.py:417-491).
+
+        ``wanted=[]`` is an EMPTY plan (a dynamically filtered stage list
+        that ends up empty must not silently expand to every registered
+        stage); ``wanted=None`` means all stages."""
+        names = set(self._stages) if wanted is None else set(wanted)
+        unknown = sorted(n for n in names if n not in self._stages)
+        if unknown:
+            raise ValueError(
+                f"unknown stage(s) requested: {unknown}; "
+                f"registered: {self.names()}"
+            )
         # include transitive dependencies
         frontier = list(names)
         while frontier:

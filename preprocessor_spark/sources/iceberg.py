@@ -66,13 +66,20 @@ class TableIO:
             iceberg_available(spark) if use_iceberg is None else use_iceberg
         )
 
+    def _is_table(self, ident: str) -> bool:
+        # jar presence alone must not route a filesystem PATH to
+        # spark.read.table: shared cluster images often ship the Iceberg
+        # runtime with no catalog configured, and a table identifier never
+        # contains a path separator. Paths always take the parquet backend.
+        return self.use_iceberg and "/" not in ident and "\\" not in ident
+
     def read(self, ident: str) -> DataFrame:
-        if self.use_iceberg:
+        if self._is_table(ident):
             return self.spark.read.table(ident)
         return self.spark.read.parquet(ident)
 
     def append(self, df: DataFrame, ident: str, partition_cols: list[str]):
-        if self.use_iceberg:
+        if self._is_table(ident):
             df.writeTo(ident).append()
             return
         df.write.mode("append").partitionBy(*partition_cols).parquet(ident)
@@ -83,7 +90,7 @@ class TableIO:
         """Idempotent dynamic partition overwrite — the checkpoint/resume
         write primitive: rewriting the same partitions yields an identical
         table (crash-safe replay)."""
-        if self.use_iceberg:
+        if self._is_table(ident):
             df.writeTo(ident).overwritePartitions()
             return
         # scope the dynamic mode to THIS write: left set globally, every

@@ -66,7 +66,15 @@ def stream_ema_unbias(
         # a batch spans >1 chunk. Materialize and sort the batch ONCE
         # (a group's micro-batch must fit in memory for any per-group sort
         # anyway — the same bound applyInPandas carries).
-        whole = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        # pd.concat([]) raises — an empty invocation (state-timeout firing,
+        # zero-chunk batch) must take the state-preserving branch below,
+        # not kill the query
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=[series_col, id_col, time_col, value_col])
+        )
         if len(whole):
             whole = whole.sort_values([time_col, id_col])
             x = whole[value_col].to_numpy(np.float64)

@@ -474,3 +474,21 @@ def test_stream_tier_supports_append_mode(spark, tmp_path):
     )
     q.awaitTermination(120)
     q.stop()
+
+
+def test_registry_empty_wanted_is_empty_plan_and_unknown_names_are_clear():
+    """load_order([]) must be an EMPTY plan (a dynamically filtered list
+    that ends up empty must not expand to every registered stage), None
+    means all stages, and an unknown requested name gets a clear error,
+    not a bare KeyError."""
+    import pytest as pt
+
+    from preprocessor_spark.registry import StageRegistry
+
+    reg = StageRegistry()
+    reg.register("a")(lambda df: df)
+    reg.register("b", depends_on=["a"])(lambda df: df)
+    assert reg.load_order([]) == []
+    assert [s.name for s in reg.load_order()] == ["a", "b"]
+    with pt.raises(ValueError, match="unknown stage"):
+        reg.load_order(["typo"])

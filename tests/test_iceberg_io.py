@@ -78,3 +78,16 @@ def test_overwrite_partitions_restores_session_overwrite_mode(
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         == before
     )
+
+
+def test_paths_never_route_to_read_table(spark, small, tmp_path):
+    """Jar presence alone must not send a filesystem PATH to
+    spark.read.table (shared images ship the Iceberg runtime with no
+    catalog configured): even with use_iceberg=True forced, a path ident
+    takes the parquet backend."""
+    p = str(tmp_path / "t")
+    io = TableIO(spark, use_iceberg=True)
+    io.append(small, p, ["source"])
+    assert io.read(p).count() == small.count()
+    io.overwrite_partitions(small, p, ["source"])
+    assert io.read(p).count() == small.count()

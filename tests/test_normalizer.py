@@ -234,3 +234,25 @@ def test_pip_mae_minmax_all_null_column(spark):
     diag = Normalizer.pip_mae_diagnostics(params)
     assert diag["y"] is None
     assert diag["x"] is not None and diag["x"] > 0
+
+
+def test_dual_params_refuse_nan_statistics(tmp_path):
+    """A NaN fit statistic must be refused loudly at save time: bare NaN
+    is not standard JSON (breaking the reference-layout interop), and the
+    read-back dict verify would otherwise fail with a misleading
+    'mismatch' (NaN != NaN)."""
+    import pytest as pt
+
+    from preprocessor_spark.params import StageParams, save_params_dual
+
+    sp = StageParams(
+        stage="normalizer",
+        method="zscore",
+        params={
+            "columns": ["x"],
+            "per_column": {"x": {"mean": float("nan"), "std": 1.0}},
+            "feature_range": (-1, 1),
+        },
+    )
+    with pt.raises(ValueError, match="non-finite"):
+        save_params_dual(str(tmp_path), sp)
