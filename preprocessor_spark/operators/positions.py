@@ -79,6 +79,21 @@ def grouped_positions_and_totals(
     WITHOUT a second full pass over the positioned plan."""
     group_cols = group_cols or []
     lead = order_cols[0]
+    if not is_bucketable_dtype(dict(df.dtypes)[lead]):
+        # a non-bucketable lead (e.g. string keys) cannot take the
+        # value-bucketed scale path: cast('double') would bucket
+        # numeric-looking strings NUMERICALLY while the in-bucket window
+        # sorts them LEXICALLY ('10' < '2'), scattering positions. Fall
+        # back to one ordered window per group — correct at any dtype,
+        # single-task per group (callers with bucketable keys never pay
+        # this; time/hash leads all bucket).
+        w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+        positioned = df.withColumn(pos_col, F.row_number().over(w) - 1)
+        totals = {
+            tuple(r[c] for c in group_cols): r["count"]
+            for r in df.groupBy(*group_cols).count().collect()
+        }
+        return positioned, totals
     enc = _encode_lead(df, lead)
     lo, hi = df.agg(F.min(enc), F.max(enc)).collect()[0]
     if lo is None:
@@ -193,7 +208,6 @@ def chunked_assignment(
         )
     ).cast("int")
     counts = df.groupBy(*series_cols, bucket.alias("__bkt")).count().collect()
-    # every chunk must hold at least carry_rows rows so a successor's head
     by_series: dict[tuple, list] = {}
     for r in counts:
         by_series.setdefault(tuple(r[c] for c in series_cols), []).append(
@@ -262,6 +276,10 @@ def chunked_assignment(
         adf["__bkt"], *[adf[c] for c in series_cols]
     )
     cur = joined.withColumn("__aug", F.lit(False))
+    if carry_rows <= 0:
+        # no carry context wanted: every __tail flag is False by
+        # construction, so skip the provably-empty tail scan + union
+        return cur.drop("__bkt", "__tail")
     tails = (
         joined.filter(F.col("__tail"))
         .withColumn("__chunk", F.col("__chunk") + 1)

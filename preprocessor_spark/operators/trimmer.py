@@ -10,6 +10,10 @@ Spark mapping (SURVEY §2.2 P2/P3):
   * positional row drops need a global order: ``row_number() OVER
     (ORDER BY time)``. For small drop-lists we filter with ``~isin``;
     for large ones, a broadcast anti-join against a drop-list DataFrame.
+    Pass ``tiebreak_cols`` when the order column can carry duplicates —
+    tied rows otherwise take scheduler-dependent positions and reruns can
+    drop a DIFFERENT physical row (the reference rides pandas row order,
+    which Spark does not have).
   * ``drop_time_range`` is the scale path: time-range trims become
     partition-pruning predicates on the time-partitioned table.
 """
@@ -40,17 +44,29 @@ class Trimmer:
         self.tiebreak_cols = tiebreak_cols or []
 
     def params(self) -> StageParams:
+        # the full configuration, not just the positional lists: a lineage
+        # consumer of the saved record must be able to reproduce/explain a
+        # name-keyed column drop and the row-drop ordering
         return StageParams(
             stage=self.name,
             method="positional",
-            params={"columns": self.columns, "rows": self.rows},
+            params={
+                "columns": self.columns,
+                "rows": self.rows,
+                "column_names": self.column_names,
+                "order_col": self.order_col,
+                "tiebreak_cols": self.tiebreak_cols,
+            },
         )
 
     def transform(self, df: DataFrame) -> DataFrame:
+        # row drops FIRST, on the frame that still carries the order (and
+        # tiebreak) columns: one call configured to drop BOTH the time
+        # column and rows used to compute positions on the post-drop frame
+        # and die on the missing order key. Which rows drop is unaffected —
+        # positions are row-wise, independent of column projection (pandas
+        # iloc semantics).
         out = df
-        drop_names = [df.columns[i] for i in self.columns] + self.column_names
-        if drop_names:
-            out = out.drop(*drop_names)
         if self.rows:
             from preprocessor_spark.operators.positions import (
                 is_bucketable_dtype,
@@ -84,6 +100,9 @@ class Trimmer:
                     .filter(~F.col("__rn").isin(targets))
                     .drop("__rn")
                 )
+        drop_names = [df.columns[i] for i in self.columns] + self.column_names
+        if drop_names:
+            out = out.drop(*drop_names)
         return out
 
     @staticmethod

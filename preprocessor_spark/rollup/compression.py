@@ -58,8 +58,12 @@ def encode_tier_blocks(
     series_cols = series_cols if series_cols is not None else ["source"]
     span = block_buckets * bucket_seconds
     df = tier_df.withColumn(
+        # floor, not cast('long'): the cast truncates toward zero, so
+        # pre-1970 (negative-epoch) buckets would straddle epoch in one
+        # double-width block and every historical block would sit off the
+        # floor-based grid
         "__block",
-        (F.unix_timestamp("bucket_start") / F.lit(span)).cast("long"),
+        F.floor(F.unix_timestamp("bucket_start") / F.lit(span)).cast("long"),
     )
     schema = _block_schema(series_cols, tier_df)
     scols = list(series_cols)
@@ -109,9 +113,18 @@ def decode_tier_blocks(
                 ts = pd.to_datetime(dod_decode(r["ts_blob"]), unit="s")
                 d = {c: r[c] for c in scols}
                 d["bucket_start"] = ts
-                d["n_points"] = dod_decode(r["n_points_blob"])
+                npts = dod_decode(r["n_points_blob"])
+                d["n_points"] = npts
+                # restore the (n_points=0, NULL stats) gap-row invariant:
+                # the float codec stores nulls as NaN bit patterns (Arrow
+                # has no null lane in a float64 numpy array), and a NaN
+                # poisons downstream F.min/F.max and the seed-row merge.
+                # n_points counts NON-NULL values (tiers.py), so
+                # n_points==0 identifies the null stats exactly.
                 for c in FLOAT_STATS:
-                    d[c] = xor_decode(r[f"{c}_blob"])
+                    vals = pd.array(xor_decode(r[f"{c}_blob"]), dtype="Float64")
+                    vals[npts == 0] = pd.NA
+                    d[c] = vals
                 frames.append(pd.DataFrame(d))
             yield pd.concat(frames) if frames else pd.DataFrame(
                 {f.name: [] for f in out_schema.fields}

@@ -104,3 +104,40 @@ def test_checkpoint_partial_failure_resume(spark, tier_1h, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == tier_1h.count()
     assert os.path.isdir(os.path.join(out, f"source={sources[0]}"))
+
+
+def test_gap_rows_roundtrip_null_stats_and_negative_epochs(spark):
+    """Compressed blocks must restore the (n_points=0, NULL stats) gap-row
+    invariant — the float codec stores nulls as NaN bit patterns, and a
+    NaN poisons F.min/F.max and the incremental seed merge downstream.
+    Pre-1970 buckets must also land on the floor-based block grid, not a
+    truncate-toward-zero one that straddles epoch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for k in range(-3, 3):  # buckets straddling epoch
+        t = dt.datetime(1970, 1, 1) + dt.timedelta(hours=k)
+        if k == 0:
+            rows.append(("s0", t, 0, None, None, None, None))  # gap row
+        else:
+            rows.append(("s0", t, 2, 4.0, 10.0, 1.0, 3.0))
+    tier = spark.createDataFrame(
+        rows,
+        "source string, bucket_start timestamp, n_points long, "
+        "sum_v double, sum_sq double, min_v double, max_v double",
+    )
+    blocks = encode_tier_blocks(tier, block_buckets=4, bucket_seconds=3600)
+    back = decode_tier_blocks(blocks)
+    assert back.count() == 6
+    gap = back.filter(F.col("n_points") == 0).collect()
+    assert len(gap) == 1
+    for c in ("sum_v", "sum_sq", "min_v", "max_v"):
+        assert gap[0][c] is None  # NULL, not NaN
+    # real rows keep exact values
+    real = back.filter(F.col("n_points") > 0)
+    assert real.filter(F.col("sum_v") != 4.0).count() == 0
+    # aggregates are not NaN-poisoned after the roundtrip
+    agg = back.agg(F.max("max_v"), F.min("min_v")).collect()[0]
+    assert agg[0] == 3.0 and agg[1] == 1.0

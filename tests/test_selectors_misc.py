@@ -395,3 +395,41 @@ def test_selector_combines_names_and_indices_and_dedups_keep_cols(spark):
     dup = FeatureSelector(names=["ts", "a"], keep_cols=["ts"])
     out2 = dup.transform(df, dup.fit(df))
     assert out2.columns == ["ts", "a"]  # 'ts' once, never twice
+
+
+def test_trimmer_can_drop_order_column_and_rows_together(spark):
+    """One call that drops BOTH the time column and rows used to die:
+    positions were computed on the post-column-drop frame, which no longer
+    carried the order key. Row selection is column-independent (pandas
+    iloc semantics), so drops happen rows-first."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=6, freq="min"),
+            "a": range(6),
+            "b": range(6),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = Trimmer(columns=[0], rows=[3], order_col="ts").transform(df)
+    assert out.columns == ["a", "b"]
+    assert sorted(r["a"] for r in out.collect()) == [0, 1, 2, 4, 5]
+
+
+def test_positions_string_lead_falls_back_to_lexical_window(spark):
+    """A numeric-looking STRING order key must position lexically (what
+    ORDER BY does), not numerically: the value-bucket scale path would
+    bucket '2' before '10' while the window sorts '10' first, scattering
+    positions. Non-bucketable leads take a correct per-group window."""
+    from preprocessor_spark.operators.positions import (
+        grouped_positions_and_totals,
+    )
+
+    df = spark.createDataFrame(
+        [("10",), ("2",), ("1",)], "k string"
+    ).repartition(4)
+    positioned, totals = grouped_positions_and_totals(df, ["k"])
+    got = {r["k"]: r["__pos"] for r in positioned.collect()}
+    assert got == {"1": 0, "10": 1, "2": 2}  # lexical, matching ORDER BY
+    assert totals == {(): 3}
